@@ -1,0 +1,168 @@
+"""Arrow-batched signature UDFs.
+
+The JVM ships Arrow record batches to the Python worker; inside we
+tokenize (per-row string ops) and hash/minimize (vectorized numpy across
+the whole batch via minimum.reduceat). One boundary crossing per batch —
+this is the idiomatic-Spark replacement for the reference's rayon
+`par_bulk_insert_docs` row parallelism (/root/reference/gaoya/src/minhash/
+minhash_index.rs:428-443): Spark's partition parallelism gives the same
+multi-core shape, and each core runs the same vectorized kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+from gaoya_spark.config import MinHashConfig, SimHashConfig
+from gaoya_spark import hashing
+from gaoya_spark.tokenize import tokenize
+
+
+def _phash_tokens(ph: int) -> list[str]:
+    """Encode a 64-bit phash as 8 positional byte tokens (north rule: fold
+    image perceptual-hash features into the caption token set). The \\x00
+    prefix cannot collide with text shingles."""
+    u = ph & 0xFFFFFFFFFFFFFFFF
+    return [f"\x00ph{i}:{(u >> (8 * i)) & 0xFF}" for i in range(8)]
+
+
+def _batch_tokens(texts: pd.Series, cfg, phash: pd.Series | None):
+    """Tokenize a batch -> (flat uint64 token-hash array, per-doc counts)."""
+    tok_lists = []
+    weight = getattr(cfg, "phash_token_weight", 0)
+    ph_vals = phash.values if phash is not None else None
+    for i, t in enumerate(texts):
+        toks = tokenize(t, cfg.tokenizer)
+        if ph_vals is not None and weight > 0 and ph_vals[i] is not None:
+            toks = toks + _phash_tokens(int(ph_vals[i])) * weight
+        tok_lists.append(toks)
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    flat = [t for toks in tok_lists for t in toks]
+    hashes = hashing.hash_tokens(flat, cfg.token_hasher)
+    return hashes, counts
+
+
+def make_minhash_udf(cfg: MinHashConfig, with_phash: bool = False):
+    """pandas_udf (text[, phash]) -> array<int|long> minhash signature."""
+    bits64 = cfg.hash_size == 64
+    a, b = hashing.minhash_permutations(cfg.num_hashes, cfg.seed, bits64)
+    elem = LongType() if cfg.hash_size >= 64 else IntegerType()
+    ret = ArrayType(elem, containsNull=False)
+
+    def compute(texts: pd.Series, phash: pd.Series | None) -> pd.Series:
+        hashes, counts = _batch_tokens(texts, cfg, phash)
+        sig = hashing.minhash_signatures(
+            hashes, counts, a, b, cfg.hash_size, cfg.formula, bits64
+        )
+        if cfg.hash_size < 64:
+            sig = sig.astype(np.int32)
+        return pd.Series(list(sig))
+
+    if with_phash:
+        @F.pandas_udf(ret)
+        def minhash_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+            for texts, ph in it:
+                yield compute(texts, ph)
+    else:
+        @F.pandas_udf(ret)
+        def minhash_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for texts in it:
+                yield compute(texts, None)
+
+    return minhash_udf
+
+
+def make_minhash_tokens_udf(cfg: MinHashConfig):
+    """pandas_udf array<long> pre-tokenized integer features -> signature.
+
+    Mirrors the reference's `insert_tokens` path where the analyzer output
+    is supplied directly (/root/reference/py-gaoya/gaoya/minhash.py:193-198);
+    integer tokens are mixed with splitmix64 before the affine min-hash.
+    """
+    bits64 = cfg.hash_size == 64
+    a, b = hashing.minhash_permutations(cfg.num_hashes, cfg.seed, bits64)
+    elem = LongType() if cfg.hash_size >= 64 else IntegerType()
+
+    @F.pandas_udf(ArrayType(elem, containsNull=False))
+    def minhash_tokens_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for token_arrays in it:
+            counts = np.fromiter(
+                (0 if v is None else len(v) for v in token_arrays),
+                dtype=np.int64,
+                count=len(token_arrays),
+            )
+            if counts.sum():
+                flat = np.concatenate(
+                    [np.asarray(v, dtype=np.int64) for v in token_arrays if v is not None and len(v)]
+                )
+                hashes = hashing.splitmix64(flat)
+            else:
+                hashes = np.empty(0, dtype=np.uint64)
+            sig = hashing.minhash_signatures(
+                hashes, counts, a, b, cfg.hash_size, cfg.formula, bits64
+            )
+            if cfg.hash_size < 64:
+                sig = sig.astype(np.int32)
+            yield pd.Series(list(sig))
+
+    return minhash_tokens_udf
+
+
+def make_simhash_udf(cfg: SimHashConfig, with_phash: bool = False):
+    """pandas_udf (text[, phash]) -> long simhash signature (two's complement)."""
+
+    def compute(texts: pd.Series, phash: pd.Series | None) -> pd.Series:
+        tok_lists = [tokenize(t, cfg.tokenizer) for t in texts]
+        counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+        flat = [t for toks in tok_lists for t in toks]
+        hashes = hashing.hash_tokens(flat, cfg.token_hasher)
+        ph = None
+        if phash is not None and cfg.phash_vote_weight > 0:
+            ph = phash.fillna(0).to_numpy(dtype=np.int64)
+        sig = hashing.simhash_signatures(
+            hashes, counts, cfg.nbits, ph, cfg.phash_vote_weight
+        )
+        return pd.Series(sig)
+
+    if with_phash:
+        @F.pandas_udf(LongType())
+        def simhash_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+            for texts, ph in it:
+                yield compute(texts, ph)
+    else:
+        @F.pandas_udf(LongType())
+        def simhash_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for texts in it:
+                yield compute(texts, None)
+
+    return simhash_udf
+
+
+def make_simhash_tokens_udf(cfg: SimHashConfig):
+    """pandas_udf array<long> integer features -> long simhash."""
+
+    @F.pandas_udf(LongType())
+    def simhash_tokens_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for token_arrays in it:
+            counts = np.fromiter(
+                (0 if v is None else len(v) for v in token_arrays),
+                dtype=np.int64,
+                count=len(token_arrays),
+            )
+            if counts.sum():
+                flat = np.concatenate(
+                    [np.asarray(v, dtype=np.int64) for v in token_arrays if v is not None and len(v)]
+                )
+                hashes = hashing.splitmix64(flat)
+            else:
+                hashes = np.empty(0, dtype=np.uint64)
+            yield pd.Series(
+                hashing.simhash_signatures(hashes, counts, cfg.nbits)
+            )
+
+    return simhash_tokens_udf

@@ -1,0 +1,254 @@
+"""Vectorized NumPy hashing kernels.
+
+These run inside Arrow-batched pandas UDFs — all hot loops are over the
+(short) max token length or the hash count, never over rows/tokens in
+Python.
+
+Semantics mirrored from the reference (behavioral parity, SURVEY.md §7.2.1):
+- token hash: FNV-1a 64-bit over UTF-8 bytes, truncated to u32 for MinHash
+  (reference default hasher, /root/reference/gaoya/src/minhash/hashers.rs:17-38;
+  truncation at min_hasher.rs:76).
+- minhash "gaoya" formula: sig_i = min over tokens of
+  ((h *u32 a_i) +u32 b_i) % (2^31 - 1)  — u32 wrapping arithmetic
+  (/root/reference/gaoya/src/minhash/min_hasher.rs:85-94).
+- 64-bit variant: u64 wrapping arithmetic mod 2^61 - 1
+  (/root/reference/gaoya/src/minhash/min_hasher64.rs:92-119).
+- empty token stream -> all-zero signature
+  (/root/reference/gaoya/src/minhash/min_hasher.rs:96).
+- simhash: per-token hash; bit position votes +1 if the bit is 0 else -1;
+  result bit set iff the vote count is > 0 (reference's inverted-vote
+  convention, /root/reference/gaoya/src/simhash/sim_hash.rs:30-55).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from gaoya_spark.config import MERSENNE_PRIME_31, MERSENNE_PRIME_61
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+# keep per-chunk intermediate matrices around this many cells so executors
+# never materialize a tokens x num_hashes matrix larger than ~64MB
+_CHUNK_CELLS = 8_000_000
+
+
+def fnv1a_u64(tokens: list[bytes]) -> np.ndarray:
+    """FNV-1a 64-bit over each byte string, vectorized across tokens.
+
+    Builds a padded (n, maxlen) byte matrix and folds columns, so the only
+    Python-level loop is over maxlen (token length), not token count.
+    """
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
+    maxlen = int(lens.max(initial=0))
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if maxlen == 0:
+        return h
+    joined = np.frombuffer(b"".join(tokens), dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    col = np.arange(maxlen, dtype=np.int64)
+    idx = np.minimum(starts[:, None] + col[None, :], len(joined) - 1)
+    mat = joined[idx]  # (n, maxlen)
+    mask = col[None, :] < lens[:, None]
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            m = mask[:, j]
+            if not m.any():
+                break
+            h[m] = (h[m] ^ mat[m, j].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Stable 64-bit mix for integer tokens (pre-tokenized array<long> input)."""
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def md5_60(token: str) -> int:
+    """Cross-engine deterministic 60-bit hash: first 15 hex chars of md5.
+
+    Identical to Spark  cast(conv(substr(md5(x),1,15),16,10) as bigint)
+    and DuckDB          ('0x'||substr(md5(x),1,15))::bigint.
+    Slow path (per-token hashlib) — used only by oracle-parity configs.
+    """
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def md5_60_many(tokens: list[str]) -> np.ndarray:
+    return np.fromiter(
+        (md5_60(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
+
+
+def hash_tokens(tokens: list, hasher: str) -> np.ndarray:
+    """Hash a flat token list to uint64 with the configured scheme."""
+    if hasher == "fnv1a":
+        return fnv1a_u64([t.encode("utf-8") for t in tokens])
+    if hasher == "md5_60":
+        return md5_60_many(tokens)
+    raise ValueError(f"unknown token hasher {hasher}")
+
+
+def minhash_permutations(
+    num_hashes: int, seed: int, bits64: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded affine coefficients (a, b).
+
+    The reference draws from StdRng::seed_from_u64(3) Uniform streams
+    (/root/reference/gaoya/src/minhash/min_hasher.rs:41-55); bit-parity with
+    the Rust PRNG stream is deliberately not chased (SURVEY.md §7.2.1) — we
+    fix our own documented stream from numpy's default_rng.
+    """
+    rng = np.random.default_rng(seed)
+    if bits64:
+        a = rng.integers(1, MERSENNE_PRIME_61, size=num_hashes, dtype=np.uint64)
+        b = rng.integers(0, MERSENNE_PRIME_61, size=num_hashes, dtype=np.uint64)
+    else:
+        a = rng.integers(1, MERSENNE_PRIME_31, size=num_hashes, dtype=np.uint64)
+        b = rng.integers(0, MERSENNE_PRIME_31, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def _reduceat_min(mat: np.ndarray, starts: np.ndarray, counts: np.ndarray):
+    out = np.minimum.reduceat(mat, starts, axis=0)
+    out[counts == 0] = 0  # P9: empty doc -> all-zero signature
+    return out
+
+
+def minhash_signatures(
+    token_hashes: np.ndarray,
+    doc_token_counts: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    hash_size: int = 32,
+    formula: str = "gaoya",
+    bits64: bool = False,
+) -> np.ndarray:
+    """Signature matrix (n_docs, num_hashes) from concatenated token hashes.
+
+    token_hashes: uint64 array, all docs' token hashes concatenated.
+    doc_token_counts: int64 array of per-doc token counts (sums to len).
+    """
+    n_docs = len(doc_token_counts)
+    k = len(a)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(doc_token_counts[:-1], out=starts[1:])
+    # reduceat needs strictly valid indices even for empty docs; clamp and
+    # zero them afterwards
+    total = len(token_hashes)
+    safe_starts = np.minimum(starts, max(total - 1, 0))
+    out = np.empty((n_docs, k), dtype=np.uint64)
+    if total == 0:
+        out[:] = 0
+        return _truncate(out, hash_size, formula)
+
+    # chunk docs so the (tokens x k) intermediate stays bounded
+    per_doc = max(int(doc_token_counts.mean()), 1)
+    docs_per_chunk = max(_CHUNK_CELLS // (per_doc * k), 1)
+    with np.errstate(over="ignore"):
+        for lo in range(0, n_docs, docs_per_chunk):
+            hi = min(lo + docs_per_chunk, n_docs)
+            t0 = int(starts[lo])
+            t1 = int(starts[hi]) if hi < n_docs else total
+            h = token_hashes[t0:t1]
+            if len(h) == 0:
+                out[lo:hi] = 0
+                continue
+            if formula == "gaoya":
+                if bits64:
+                    # 64-bit family: u64 wrapping mul/add, mod 2^61-1
+                    m = (h[:, None] * a[None, :]) + b[None, :]
+                    m %= np.uint64(MERSENNE_PRIME_61)
+                else:
+                    h32 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                    m = (h32[:, None] * a.astype(np.uint32)[None, :]) + b.astype(
+                        np.uint32
+                    )[None, :]
+                    m %= np.uint32(MERSENNE_PRIME_31)
+            elif formula == "modp":
+                hp = h % np.uint64(MERSENNE_PRIME_31)
+                m = (hp[:, None] * a[None, :]) + b[None, :]
+                m %= np.uint64(MERSENNE_PRIME_31)
+            else:
+                raise ValueError(formula)
+            out[lo:hi] = _reduceat_min(
+                m.astype(np.uint64),
+                safe_starts[lo:hi] - t0,
+                doc_token_counts[lo:hi],
+            )
+    return _truncate(out, hash_size, formula)
+
+
+def _truncate(sig: np.ndarray, hash_size: int, formula: str) -> np.ndarray:
+    """Truncate to the configured element width (min_hasher.rs:93 `h as $type`)."""
+    if hash_size == 64:
+        return sig.astype(np.int64)  # values < 2^61, sign-safe
+    mask = np.uint64((1 << hash_size) - 1)
+    return (sig & mask).astype(np.int64)
+
+
+def simhash_signatures(
+    token_hashes: np.ndarray,
+    doc_token_counts: np.ndarray,
+    nbits: int = 64,
+    phash: np.ndarray | None = None,
+    phash_weight: int = 0,
+) -> np.ndarray:
+    """SimHash per doc: inverted-vote majority over token-hash bits.
+
+    Returns int64 (two's complement for 64-bit). Optionally folds a per-doc
+    64-bit phash into the vote with weight `phash_weight` (north rule: image
+    perceptual-hash bits vote alongside caption token bits).
+    """
+    n_docs = len(doc_token_counts)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(doc_token_counts[:-1], out=starts[1:])
+    bitpos = np.arange(nbits, dtype=np.uint64)
+    if len(token_hashes):
+        bits = ((token_hashes[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        contrib = 1 - 2 * bits  # bit==0 -> +1, bit==1 -> -1
+        safe_starts = np.minimum(starts, len(token_hashes) - 1)
+        counts = np.add.reduceat(contrib, safe_starts, axis=0)
+        counts[doc_token_counts == 0] = 0
+    else:
+        counts = np.zeros((n_docs, nbits), dtype=np.int64)
+    if phash is not None and phash_weight > 0:
+        pbits = (
+            (phash.astype(np.int64).view(np.uint64)[:, None] >> bitpos[None, :])
+            & np.uint64(1)
+        ).astype(np.int64)
+        counts = counts + phash_weight * (1 - 2 * pbits)
+    sig = ((counts > 0).astype(np.uint64) << bitpos[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return sig.view(np.int64) if nbits == 64 else sig.astype(np.int64)
+
+
+def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Popcount(xor) — numpy-side mirror of F.bit_count(a ^ b)."""
+    x = (a.astype(np.int64) ^ b.astype(np.int64)).view(np.uint64)
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+def minhash_similarity(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Fraction of equal positions (/root/reference/gaoya/src/minhash/mod.rs:118-130)."""
+    return float((np.asarray(sig_a) == np.asarray(sig_b)).mean())

@@ -1,0 +1,134 @@
+"""Connected-components clustering over candidate-pair edges.
+
+Replaces the reference's lock-free greedy star clusterer
+(/root/reference/gaoya/src/clustering/clusterer_parallel.rs:165-291) with
+deterministic, order-independent smallest-id label propagation — the north
+rule's clustering step. Outcome equivalence for recall: every pair the
+greedy clusterer co-clusters lies within one star (seed + its query
+matches), and every such pair is an edge (or shares the seed) in the
+candidate graph, so connected components co-clusters it too (SURVEY.md
+§3.3).
+
+Algorithm: labels start as own id; each iteration every node takes the min
+label over itself and its neighbors; stop at fixpoint. Iteration count is
+bounded by the graph diameter — near-dup graphs are unions of dense
+blobs, so a handful of iterations suffices; `checkpoint_every` breaks the
+lineage chain (localCheckpoint locally, warehouse parquet in the pipeline)
+to keep plans from growing unboundedly — which is also what makes a
+10^12-row run resumable mid-clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iter: int = 50,
+    checkpoint_every: int = 1,
+    checkpoint_fn=None,
+) -> DataFrame:
+    """(id, component) — component = smallest reachable id.
+
+    edges: undirected pair list. nodes: optional (id) DataFrame of all nodes
+    (so isolated nodes appear as singleton components). checkpoint_fn:
+    optional DataFrame -> DataFrame stage checkpointer (the pipeline passes
+    a warehouse writer; default localCheckpoint).
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.dropDuplicates(["a", "b"])
+
+    if nodes is not None:
+        ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+    else:
+        ids = sym.select(F.col("a").alias("id")).distinct()
+
+    labels = ids.select("id", F.col("id").alias("component"))
+    sym = sym.persist()
+    labels = labels.localCheckpoint(eager=True)
+
+    for it in range(max_iter):
+        # neighbor-min: for each node a, min over labels of its neighbors b
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (
+                    F.coalesce("nbr_component", "component") < F.col("component")
+                ).alias("changed"),
+            )
+        )
+        if checkpoint_fn is not None and (it + 1) % checkpoint_every == 0:
+            new_labels = checkpoint_fn(new_labels, it)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        n_changed = new_labels.where("changed").limit(1).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def clusters_from_labels(
+    labels: DataFrame, min_cluster_size: int = 2, inclusive: bool = True
+) -> DataFrame:
+    """(id, component, cluster_size) for clusters meeting the size bound.
+
+    The reference is inconsistent: the serial clusterer keeps clusters with
+    size strictly > min_cluster_size (clustering_serial.rs:102) while the
+    parallel one keeps >= (clusterer_parallel.rs:208). `inclusive=True`
+    mirrors the parallel (and more useful) semantics; False mirrors serial.
+    """
+    sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    cond = (
+        F.col("cluster_size") >= min_cluster_size
+        if inclusive
+        else F.col("cluster_size") > min_cluster_size
+    )
+    return labels.join(sizes.where(cond), "component").select(
+        "id", "component", "cluster_size"
+    )
+
+
+def duplicate_pair_recall(
+    predicted_labels: DataFrame, truth_groups: DataFrame,
+    id_col: str = "id", group_col: str = "group_id",
+) -> float:
+    """Fraction of ground-truth duplicate pairs co-clustered by `predicted`.
+
+    truth_groups: (id, group_id) with group size >= 2 meaning duplicates.
+    This is the BASELINE.md acceptance metric (dup-pair recall >= 0.99).
+    """
+    t = truth_groups.select(F.col(id_col).alias("id"), F.col(group_col).alias("g"))
+    tp = (
+        t.alias("x")
+        .join(t.alias("y"), F.col("x.g") == F.col("y.g"))
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    )
+    p = predicted_labels.select(F.col("id"), F.col("component"))
+    joined = (
+        tp.join(p.withColumnRenamed("id", "src").withColumnRenamed("component", "ca"), "src")
+        .join(p.withColumnRenamed("id", "dst").withColumnRenamed("component", "cb"), "dst")
+    )
+    agg = joined.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("ca") == F.col("cb")).cast("int")).alias("hit"),
+    ).collect()[0]
+    return 1.0 if agg["n"] == 0 else agg["hit"] / agg["n"]

@@ -1,0 +1,205 @@
+"""SimHash Hamming-ball LSH as DataFrame dataflow.
+
+The reference splits the signature's bits into `num_blocks` blocks and
+keeps one hash table per combination of (num_blocks - max_distance) blocks
+(/root/reference/gaoya/src/simhash/sim_hash_index.rs:95-128, mask
+enumeration at permutation.rs:78-106). Pigeonhole: two signatures within
+Hamming distance d differ in at most d blocks, so they match exactly on at
+least (num_blocks - d) blocks — i.e. on at least one enumerated mask —
+giving recall 1.0 for d-balls before the exact distance filter.
+
+Spark realization: masks are enumerated on the driver
+(itertools.combinations); each signature explodes into one row per mask
+(table_idx, sig & mask); candidates come from the equi-join on that pair;
+the exact filter is bit_count(xor) < max_distance — STRICT '<', mirroring
+Q8 (sim_hash_index.rs:57; the python docstring says <= — the reference
+code wins, divergence documented).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from gaoya_spark.config import SimHashConfig
+from gaoya_spark.functions.signatures import make_simhash_udf, make_simhash_tokens_udf
+from gaoya_spark.functions.similarity import hamming_distance_col
+
+
+def _block_masks(nbits: int, num_blocks: int, max_distance: int) -> list[int]:
+    """One mask per combination of (num_blocks - max_distance) blocks.
+
+    Blocks split nbits as evenly as possible (first `nbits % num_blocks`
+    blocks get one extra bit), mirroring the reference's block layout.
+    """
+    base = nbits // num_blocks
+    rem = nbits % num_blocks
+    blocks = []
+    start = 0
+    for i in range(num_blocks):
+        width = base + (1 if i < rem else 0)
+        mask = ((1 << width) - 1) << start
+        blocks.append(mask)
+        start += width
+    keep = num_blocks - max_distance
+    masks = []
+    for combo in combinations(range(num_blocks), keep):
+        m = 0
+        for i in combo:
+            m |= blocks[i]
+        masks.append(m)
+    return masks
+
+
+def _to_i64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+class SimHashLSH:
+    def __init__(self, cfg: SimHashConfig | None = None):
+        self.cfg = cfg or SimHashConfig()
+        self.masks = _block_masks(cfg.nbits if cfg else 64,
+                                  self.cfg.num_blocks, self.cfg.max_distance)
+
+    # ------------------------------------------------------------------ sigs
+    def signatures(
+        self,
+        df: DataFrame,
+        id_col: str = "id",
+        text_col: str = "text",
+        phash_col: str | None = None,
+        tokens_col: str | None = None,
+    ) -> DataFrame:
+        if tokens_col is not None:
+            udf = make_simhash_tokens_udf(self.cfg)
+            sig = udf(F.col(tokens_col))
+        elif phash_col is not None:
+            udf = make_simhash_udf(self.cfg, with_phash=True)
+            sig = udf(F.col(text_col), F.col(phash_col))
+        else:
+            udf = make_simhash_udf(self.cfg)
+            sig = udf(F.col(text_col))
+        return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+    # ---------------------------------------------------------------- tables
+    def tables(self, sig_df: DataFrame, id_col: str = "id") -> DataFrame:
+        """(id, table_idx, key): key = sig & mask per enumerated mask —
+        the Hamming-ball bucketing, fully JVM-side."""
+        mask_arr = F.array(*[F.lit(_to_i64(m)) for m in self.masks])
+        keys = F.transform(mask_arr, lambda m: F.col("sig").bitwiseAND(m))
+        return sig_df.select(
+            F.col(id_col).alias("id"),
+            F.col("sig"),
+            F.posexplode(keys).alias("table_idx", "key"),
+        ).select("id", "table_idx", "key")
+
+    # ----------------------------------------------------------- dedup pairs
+    def candidate_pairs(self, sig_df: DataFrame, max_bucket_size: int = 4096) -> DataFrame:
+        """(src, dst) ids co-bucketed in >=1 table, deduped. Buckets above
+        max_bucket_size are excluded (callers surface the metric via
+        bucket_stats; masked-prefix buckets can explode when many docs share
+        a simhash prefix — the all-zero signature of empty captions being
+        the classic offender at web scale)."""
+        t = self.tables(sig_df)
+        sizes = t.groupBy("table_idx", "key").agg(F.count("*").alias("n"))
+        t = t.join(
+            F.broadcast(sizes.where(F.col("n") > max_bucket_size)),
+            ["table_idx", "key"],
+            "left_anti",
+        )
+        a, b = t.alias("a"), t.alias("b")
+        return (
+            a.join(b, ["table_idx", "key"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+
+    def bucket_stats(self, sig_df: DataFrame) -> DataFrame:
+        """C5/O9: avg/max bucket occupancy per table — skew metrics."""
+        t = self.tables(sig_df)
+        return (
+            t.groupBy("table_idx", "key")
+            .agg(F.count("*").alias("n"))
+            .groupBy("table_idx")
+            .agg(
+                F.count("*").alias("n_buckets"),
+                F.avg("n").alias("avg_bucket"),
+                F.max("n").alias("max_bucket"),
+            )
+        )
+
+    def dedup_pairs(self, sig_df: DataFrame, max_distance: int | None = None, **kw) -> DataFrame:
+        """(src, dst, dist) pairs with hamming distance strictly below
+        max_distance (Q8 strict '<')."""
+        d = self.cfg.max_distance if max_distance is None else max_distance
+        pairs = self.candidate_pairs(sig_df, **kw)
+        sa = sig_df.select(F.col("id").alias("src"), F.col("sig").alias("sig_a"))
+        sb = sig_df.select(F.col("id").alias("dst"), F.col("sig").alias("sig_b"))
+        return (
+            pairs.join(sa, "src")
+            .join(sb, "dst")
+            .withColumn("dist", hamming_distance_col("sig_a", "sig_b"))
+            .where(F.col("dist") < d)
+            .select("src", "dst", "dist")
+        )
+
+    # ----------------------------------------------------------------- query
+    def query(
+        self,
+        index_sigs: DataFrame,
+        probe_sigs: DataFrame,
+        max_distance: int | None = None,
+        keep_distance: bool = False,
+    ) -> DataFrame:
+        """Q9: (qid, id[, dist]) with dist < max_distance (strict)."""
+        d = self.cfg.max_distance if max_distance is None else max_distance
+        it = self.tables(index_sigs)
+        pt = self.tables(probe_sigs).withColumnRenamed("id", "qid")
+        cand = (
+            pt.join(it, ["table_idx", "key"])
+            .select("qid", "id")
+            .dropDuplicates(["qid", "id"])
+        )
+        qs = probe_sigs.select(F.col("id").alias("qid"), F.col("sig").alias("sig_q"))
+        ix = index_sigs.select("id", F.col("sig").alias("sig_i"))
+        out = (
+            cand.join(qs, "qid")
+            .join(ix, "id")
+            .withColumn("dist", hamming_distance_col("sig_q", "sig_i"))
+            .where(F.col("dist") < d)
+        )
+        cols = ["qid", "id", "dist"] if keep_distance else ["qid", "id"]
+        return out.select(*cols)
+
+    def query_one(self, index_sigs: DataFrame, probe_sigs: DataFrame,
+                  max_distance: int | None = None) -> DataFrame:
+        """Best (minimum-distance) match per query, deterministic tie-break."""
+        m = self.query(index_sigs, probe_sigs, max_distance, keep_distance=True)
+        w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("id"))
+        return m.withColumn("rn", F.row_number().over(w)).where("rn = 1").select(
+            "qid", "id", "dist"
+        )
+
+    # -------------------------------------------------------------- centroid
+    def centroid(self, sig_df: DataFrame, group_col: str) -> DataFrame:
+        """P20: per-bit majority vote over each group's signatures
+        (sim_hash.rs:57-78) as a JVM-side expression: sum each bit, set it
+        when ones strictly outnumber half the members."""
+        nbits = self.cfg.nbits
+        bit_cols = [
+            F.sum(F.shiftright("sig", i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+            for i in range(nbits)
+        ]
+        agg = sig_df.groupBy(F.col(group_col).alias("grp")).agg(
+            F.count("*").alias("n"), *bit_cols
+        )
+        centroid = None
+        for i in range(nbits):
+            bit = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1)).otherwise(F.lit(0))
+            # bit 63 contributes -(2^63) in two's complement
+            weight = F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i)
+            term = bit.cast("long") * weight
+            centroid = term if centroid is None else centroid + term
+        return agg.select(F.col("grp").alias(group_col), centroid.alias("centroid"))

@@ -1,0 +1,58 @@
+"""Connected components (C4) + cluster-size filter + dup-pair recall metric."""
+
+from gaoya_spark.operators.cluster import (
+    clusters_from_labels,
+    connected_components,
+    duplicate_pair_recall,
+)
+
+
+def test_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "src long, dst long",
+    )
+    labels = connected_components(edges)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_components_chain_needs_iterations(spark):
+    """A long path graph exercises multi-iteration convergence."""
+    n = 40
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
+    labels = connected_components(edges)
+    comps = {r["component"] for r in labels.collect()}
+    assert comps == {0}
+
+
+def test_components_isolated_nodes(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    labels = connected_components(edges, nodes=nodes)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_min_cluster_size_semantics(spark):
+    edges = spark.createDataFrame([(1, 2), (10, 11), (10, 12)], "src long, dst long")
+    labels = connected_components(edges)
+    # inclusive (parallel clusterer >=): size-3 kept at min=3
+    kept = clusters_from_labels(labels, min_cluster_size=3, inclusive=True)
+    assert {r["id"] for r in kept.collect()} == {10, 11, 12}
+    # exclusive (serial clusterer >): size-3 dropped at min=3
+    kept = clusters_from_labels(labels, min_cluster_size=3, inclusive=False)
+    assert kept.count() == 0
+
+
+def test_duplicate_pair_recall_metric(spark):
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)], "id long, component long"
+    )
+    truth = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "b")],
+        "id long, group_id string",
+    )
+    # truth pairs: (1,2),(3,4),(3,5),(4,5); co-clustered: (1,2),(3,4) -> 0.5
+    r = duplicate_pair_recall(labels, truth)
+    assert abs(r - 0.5) < 1e-9

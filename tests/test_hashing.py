@@ -1,0 +1,133 @@
+"""NumPy kernel tests: FNV-1a, minhash/simhash signatures, estimator accuracy.
+
+Reproduces the reference's estimator-accuracy assertions behaviorally
+(/root/reference/gaoya/src/minhash/min_hasher.rs:151-165: |minhash_sim -
+exact_jaccard| within 0.1-0.15 on near-duplicate sentence pairs)."""
+
+import numpy as np
+import pytest
+
+from gaoya_spark import hashing
+from gaoya_spark.config import TokenizerSpec
+from gaoya_spark.tokenize import tokenize
+
+S1 = ("local sensitive hashing is a technique used in approximate nearest "
+      "neighbor search")
+S2 = ("local sensitive hashing is a method used in approximate nearest "
+      "neighbor search")
+S3 = ("local sensitive hashing is one technique used for approximate nearest "
+      "neighbor search")
+
+
+def _fnv1a_ref(b: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for c in b:
+        h = ((h ^ c) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def test_fnv1a_matches_scalar_reference():
+    toks = [b"hello", b"world", b"", b"a", b"longer-token-here", "héllo".encode()]
+    got = hashing.fnv1a_u64(toks)
+    want = np.array([_fnv1a_ref(t) for t in toks], dtype=np.uint64)
+    assert (got == want).all()
+
+
+def _sig(text, num_hashes=128, hash_size=32, formula="gaoya", seed=3):
+    toks = tokenize(text, TokenizerSpec(kind="word", n_from=1, n_to=1))
+    h = hashing.hash_tokens(toks, "fnv1a")
+    a, b = hashing.minhash_permutations(num_hashes, seed, hash_size == 64)
+    return hashing.minhash_signatures(
+        h, np.array([len(toks)]), a, b, hash_size, formula, hash_size == 64
+    )[0]
+
+
+def _exact_jaccard(t1, t2):
+    a = set(tokenize(t1, TokenizerSpec(kind="word", n_from=1, n_to=1)))
+    b = set(tokenize(t2, TokenizerSpec(kind="word", n_from=1, n_to=1)))
+    return len(a & b) / len(a | b)
+
+
+@pytest.mark.parametrize("hash_size", [8, 16, 32, 64])
+@pytest.mark.parametrize("formula", ["gaoya", "modp"])
+def test_estimator_accuracy(hash_size, formula):
+    sim12 = hashing.minhash_similarity(
+        _sig(S1, hash_size=hash_size, formula=formula),
+        _sig(S2, hash_size=hash_size, formula=formula),
+    )
+    true12 = _exact_jaccard(S1, S2)
+    # 8-bit truncation inflates collisions slightly; reference allows 0.15
+    tol = 0.15 if hash_size == 8 else 0.1
+    assert abs(sim12 - true12) < tol
+    sim13 = hashing.minhash_similarity(
+        _sig(S1, hash_size=hash_size, formula=formula),
+        _sig(S3, hash_size=hash_size, formula=formula),
+    )
+    assert abs(sim13 - _exact_jaccard(S1, S3)) < tol
+
+
+def test_identical_docs_similarity_one():
+    assert hashing.minhash_similarity(_sig(S1), _sig(S1)) == 1.0
+
+
+def test_empty_doc_zero_signature():
+    # P9: empty token stream -> all-zero signature (min_hasher.rs:96)
+    a, b = hashing.minhash_permutations(16, 3, False)
+    sig = hashing.minhash_signatures(
+        np.empty(0, dtype=np.uint64), np.array([0]), a, b, 32, "gaoya"
+    )
+    assert (sig == 0).all()
+
+
+def test_empty_docs_mixed_into_batch():
+    toks = ["x", "y", "z"]
+    h = hashing.hash_tokens(toks, "fnv1a")
+    a, b = hashing.minhash_permutations(8, 3, False)
+    sig = hashing.minhash_signatures(
+        h, np.array([2, 0, 1]), a, b, 32, "gaoya"
+    )
+    assert sig.shape == (3, 8)
+    assert (sig[1] == 0).all()
+    assert not (sig[0] == 0).all() and not (sig[2] == 0).all()
+
+
+def test_simhash_near_duplicates_close():
+    # behavioral mirror of sim_hash.rs:96-110 — near-identical paragraphs
+    # land within hamming distance 8 at 64 bits
+    def sh(text):
+        toks = tokenize(text, TokenizerSpec(kind="word", n_from=1, n_to=1))
+        h = hashing.hash_tokens(toks, "fnv1a")
+        return hashing.simhash_signatures(h, np.array([len(toks)]))[0]
+
+    d = hashing.hamming_distance(np.array([sh(S1)]), np.array([sh(S2)]))[0]
+    assert d < 8
+    d_self = hashing.hamming_distance(np.array([sh(S1)]), np.array([sh(S1)]))[0]
+    assert d_self == 0
+
+
+def test_simhash_empty_doc():
+    sig = hashing.simhash_signatures(np.empty(0, dtype=np.uint64), np.array([0]))
+    assert sig[0] == 0
+
+
+def test_simhash_phash_folding_moves_bits():
+    toks = ["a", "b", "c"]
+    h = hashing.hash_tokens(toks, "fnv1a")
+    base = hashing.simhash_signatures(h, np.array([3]))[0]
+    folded = hashing.simhash_signatures(
+        h, np.array([3]), phash=np.array([0x0F0F0F0F0F0F0F0F]), phash_weight=10
+    )[0]
+    assert base != folded
+
+
+def test_md5_60_matches_sql_engines():
+    # value verified against Spark conv(substr(md5('hello'),1,15),16,10)
+    # and DuckDB ('0x'||substr(md5('hello'),1,15))::bigint
+    assert hashing.md5_60("hello") == 419982666956583591
+
+
+def test_splitmix64_deterministic_and_spread():
+    x = np.arange(1000, dtype=np.int64)
+    h = hashing.splitmix64(x)
+    assert len(np.unique(h)) == 1000
+    assert (hashing.splitmix64(x) == h).all()

@@ -1,0 +1,155 @@
+"""End-to-end MinHash LSH over DataFrames: corpus5 semantics, query
+variants, removal, the F4 clone-with-changes recall gate, centroid."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gaoya_spark.config import MinHashConfig, TokenizerSpec
+from gaoya_spark.fixtures import corpus5_df, token_vectors_pdf
+from gaoya_spark.operators.minhash_lsh import MinHashLSH
+from gaoya_spark.params import calculate_b_and_r
+
+WORD = TokenizerSpec(kind="word", n_from=1, n_to=1, lowercase=True)
+
+
+@pytest.fixture(scope="module")
+def corpus5(spark):
+    cfg = MinHashConfig(num_bands=42, band_width=3, threshold=0.5, tokenizer=WORD)
+    lsh = MinHashLSH(cfg)
+    sigs = lsh.signatures(corpus5_df(spark), "id", "text").cache()
+    sigs.count()
+    return lsh, sigs
+
+
+def _matches(df, qid):
+    return sorted(r["id"] for r in df.where(F.col("qid") == qid).collect())
+
+
+def test_corpus5_query_groups(spark, corpus5):
+    """The canonical 5-doc corpus (minhash_index.rs:892-917, README):
+    docs 0-3 mutually match; doc 4 matches only itself."""
+    lsh, sigs = corpus5
+    res = lsh.query(sigs, sigs)  # self-probe
+    for qid in range(4):
+        assert _matches(res, qid) == [0, 1, 2, 3]
+    assert _matches(res, 4) == [4]
+
+
+def test_corpus5_remove(spark, corpus5):
+    """After removing ids 0 and 4: query(doc1) = {1,2,3}, query(doc4) = {}
+    (reference test behavior incl. bucket cleanup, W3)."""
+    lsh, sigs = corpus5
+    remaining = lsh.remove(sigs, spark.createDataFrame([(0,), (4,)], "id long"))
+    res = lsh.query(remaining, sigs)
+    assert _matches(res, 1) == [1, 2, 3]
+    assert _matches(res, 4) == []
+
+
+def test_corpus5_dedup_pairs(spark, corpus5):
+    lsh, sigs = corpus5
+    pairs = lsh.dedup_pairs(sigs)
+    got = {(r["src"], r["dst"]) for r in pairs.collect()}
+    expected = {(a, b) for a in range(4) for b in range(4) if a < b}
+    assert got == expected
+
+
+def test_upsert_overwrites(spark, corpus5):
+    """W8: re-inserting an id replaces its signature cleanly (documented
+    divergence from the reference's stale-band-entry behavior, test #19)."""
+    lsh, sigs = corpus5
+    new_doc = spark.createDataFrame(
+        [(0, "completely different text about zebras and xylophones")],
+        "id long, text string",
+    )
+    new_sigs = lsh.signatures(new_doc, "id", "text")
+    updated = lsh.upsert(sigs, new_sigs)
+    assert updated.count() == 5
+    res = lsh.query(updated, updated)
+    assert _matches(res, 1) == [1, 2, 3]
+    assert _matches(res, 0) == [0]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """F4: 300 token vectors, 3 groups of 100 (base + 99 clones with
+    100/50/10 of 1000 positions mutated)."""
+    b, r = calculate_b_and_r(0.5, 128)
+    cfg = MinHashConfig(num_bands=b, band_width=r, threshold=0.5)
+    lsh = MinHashLSH(cfg)
+    pdf = token_vectors_pdf()
+    df = spark.createDataFrame(pdf, schema="id long, tokens array<long>")
+    sigs = lsh.signatures(df, "id", text_col=None, tokens_col="tokens").cache()
+    sigs.count()
+    return lsh, sigs
+
+
+def test_recall_vectors_query_groups(spark, vectors):
+    """Recall gate ported from minhash_index.rs:1033-1083: querying each
+    base vector returns exactly its own group of 100."""
+    lsh, sigs = vectors
+    probes = sigs.where(F.col("id").isin([0, 100, 200]))
+    res = lsh.query(sigs, probes)
+    assert _matches(res, 0) == list(range(0, 100))
+    assert _matches(res, 100) == list(range(100, 200))
+    assert _matches(res, 200) == list(range(200, 300))
+
+
+def test_recall_vectors_top_k(spark, vectors):
+    lsh, sigs = vectors
+    probes = sigs.where(F.col("id") == 0)
+    res = lsh.query_top_k(sigs, probes, 10)
+    rows = res.collect()
+    assert len(rows) == 10
+    assert all(0 <= r["id"] < 100 for r in rows)
+    # the exact-match base must rank first
+    assert sorted(rows, key=lambda r: -r["sim"])[0]["id"] == 0
+
+
+def test_recall_vectors_bulk_remove(spark, vectors):
+    """bulk-removing the even ids of group 1 halves it (reference test)."""
+    lsh, sigs = vectors
+    evens = spark.createDataFrame([(i,) for i in range(0, 100, 2)], "id long")
+    remaining = lsh.remove(sigs, evens)
+    probes = sigs.where(F.col("id") == 0)
+    res = lsh.query(remaining, probes)
+    assert _matches(res, 0) == list(range(1, 100, 2))
+
+
+def test_query_one_argmax(spark, vectors):
+    lsh, sigs = vectors
+    probes = sigs.where(F.col("id") == 100)
+    row = lsh.query_one(sigs, probes).collect()[0]
+    assert row["id"] == 100 and row["sim"] == 1.0
+
+
+def test_minhash_centroid_recovers_group_signature(spark, vectors):
+    """P18: the per-position mode over a group of noisy clones should be
+    close to the base vector's signature (most positions agree)."""
+    lsh, sigs = vectors
+    grouped = sigs.withColumn("grp", (F.col("id") / 100).cast("int"))
+    cent = lsh.minhash_centroid(grouped.where("grp = 2"), "grp")
+    c = cent.collect()[0]["centroid"]
+    base = sigs.where("id = 200").collect()[0]["sig"]
+    agree = sum(1 for x, y in zip(c, base) if x == y)
+    assert agree / len(base) > 0.9
+
+
+def test_band_stats_shape(spark, corpus5):
+    lsh, sigs = corpus5
+    stats = lsh.band_stats(lsh.bands(sigs)).collect()
+    assert len(stats) == 42
+    assert all(r["max_bucket"] <= 5 for r in stats)
+
+
+def test_hot_bucket_blocking_exact(spark):
+    """Triangle blocking must produce exactly the same pair set as the
+    naive self-join when a bucket exceeds max_bucket_size."""
+    cfg = MinHashConfig(num_bands=4, band_width=2, threshold=0.0, tokenizer=WORD)
+    lsh = MinHashLSH(cfg)
+    # 40 identical docs -> every band bucket has 40 members
+    df = spark.createDataFrame([(i, "same text here") for i in range(40)], "id long, text string")
+    sigs = lsh.signatures(df, "id", "text")
+    pairs_blocked = lsh.candidate_pairs(sigs, max_bucket_size=8, block_groups=4)
+    got = {(r["src"], r["dst"]) for r in pairs_blocked.collect()}
+    expected = {(a, b) for a in range(40) for b in range(40) if a < b}
+    assert got == expected

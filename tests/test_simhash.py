@@ -1,0 +1,136 @@
+"""SimHash LSH: Hamming-ball recall vs brute force (F6 fixture, mirrors
+/root/reference/gaoya/src/simhash/sim_hash_index.rs:257-298), strict-<
+filter semantics (Q8), centroid majority vote (P20)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gaoya_spark import hashing
+from gaoya_spark.config import SimHashConfig, TokenizerSpec
+from gaoya_spark.fixtures import perturbed_docs_pdf
+from gaoya_spark.operators.simhash_lsh import SimHashLSH, _block_masks
+
+WORD = TokenizerSpec(kind="word", n_from=1, n_to=1, lowercase=True)
+
+
+def test_block_masks_cover_all_bits():
+    masks = _block_masks(64, 6, 5)
+    assert len(masks) == 6  # C(6,1)
+    full = _block_masks(64, 6, 0)
+    assert len(full) == 1 and full[0] == (1 << 64) - 1
+    # every bit belongs to exactly C(q-1, keep-1) masks
+    masks = _block_masks(64, 8, 2)  # C(8,6)=28 masks
+    assert len(masks) == 28
+    import math
+    per_bit = math.comb(7, 5)
+    for bit in range(64):
+        assert sum(1 for m in masks if m >> bit & 1) == per_bit
+
+
+@pytest.fixture(scope="module")
+def perturbed(spark):
+    cfg = SimHashConfig(nbits=64, num_blocks=8, max_distance=6)
+    lsh = SimHashLSH(cfg)
+    pdf = perturbed_docs_pdf()
+    df = spark.createDataFrame(pdf, schema="id long, tokens array<long>")
+    sigs = lsh.signatures(df, "id", tokens_col="tokens").cache()
+    sigs.count()
+    return lsh, sigs, pdf
+
+
+def test_index_matches_brute_force_minimum(spark, perturbed):
+    """query_one over the index finds the same minimal hamming distance as
+    a brute-force scan (the reference's acceptance test for the index)."""
+    lsh, sigs, pdf = perturbed
+    probe = sigs.where("id = 0")
+    row = lsh.query_one(sigs.where("id > 0"), probe).collect()[0]
+
+    all_sigs = {r["id"]: r["sig"] for r in sigs.collect()}
+    base = np.array([all_sigs[0]])
+    brute = min(
+        int(hashing.hamming_distance(base, np.array([s]))[0])
+        for i, s in all_sigs.items()
+        if i > 0
+    )
+    assert row["dist"] == brute
+
+
+def test_strict_distance_filter(spark, perturbed):
+    """Q8: filter is strictly '<' max_distance (sim_hash_index.rs:57)."""
+    lsh, sigs, _ = perturbed
+    res = lsh.query(sigs, sigs.where("id = 0"), keep_distance=True)
+    dists = [r["dist"] for r in res.collect()]
+    assert all(d < lsh.cfg.max_distance for d in dists)
+
+
+def test_dedup_pairs_symmetric_and_canonical(spark, perturbed):
+    lsh, sigs, _ = perturbed
+    pairs = lsh.dedup_pairs(sigs).collect()
+    assert all(r["src"] < r["dst"] for r in pairs)
+    assert len(pairs) > 0
+
+
+def test_candidate_recall_within_ball_is_total(spark):
+    """Pigeonhole guarantee: every pair within hamming distance d shares at
+    least one of the C(q, q-d) block masks — candidate recall 1.0."""
+    cfg = SimHashConfig(nbits=64, num_blocks=6, max_distance=3)
+    lsh = SimHashLSH(cfg)
+    rng = np.random.default_rng(5)
+    base = int(rng.integers(0, 1 << 63))
+    rows = [(0, base)]
+    for i in range(1, 30):
+        v = base
+        for b in rng.choice(64, size=int(rng.integers(0, 3)), replace=False):
+            v ^= 1 << int(b)
+        if v >= 1 << 63:
+            v -= 1 << 64
+        rows.append((i, v))
+    sigs = spark.createDataFrame(rows, "id long, sig long")
+    pairs = lsh.dedup_pairs(sigs)
+    got = {(r["src"], r["dst"]) for r in pairs.collect()}
+    # brute force
+    import itertools
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(rows, 2):
+        d = int(hashing.hamming_distance(np.array([a]), np.array([b]))[0])
+        if d < 3:
+            want.add((min(i, j), max(i, j)))
+    assert got == want
+
+
+def test_simhash_centroid_majority(spark):
+    cfg = SimHashConfig(nbits=64, num_blocks=6, max_distance=5)
+    lsh = SimHashLSH(cfg)
+    # 3 sigs: bits 0,1 set in two of them -> centroid = bits 0,1
+    rows = [(1, 0b011, "g"), (2, 0b011, "g"), (3, 0b100, "g")]
+    df = spark.createDataFrame(rows, "id long, sig long, grp string")
+    c = lsh.centroid(df, "grp").collect()[0]["centroid"]
+    assert c == 0b011
+
+
+def test_simhash_centroid_sign_bit(spark):
+    neg = -(1 << 63)  # only bit 63 set
+    df = spark.createDataFrame(
+        [(1, neg, "g"), (2, neg, "g"), (3, 0, "g")], "id long, sig long, grp string"
+    )
+    lsh = SimHashLSH(SimHashConfig())
+    c = lsh.centroid(df, "grp").collect()[0]["centroid"]
+    assert c == neg
+
+
+def test_text_simhash_near_duplicates(spark):
+    cfg = SimHashConfig(nbits=64, num_blocks=10, max_distance=8, tokenizer=WORD)
+    lsh = SimHashLSH(cfg)
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "the quick brown fox jumps over the lazy cat near the river bank today"),
+            (3, "completely unrelated text about quantum chromodynamics lattice simulations"),
+        ],
+        "id long, text string",
+    )
+    sigs = lsh.signatures(docs, "id", "text")
+    pairs = {(r["src"], r["dst"]) for r in lsh.dedup_pairs(sigs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
