@@ -112,7 +112,12 @@ def make_images_pdf(
             if j == 0:
                 cap, pix = base_cap, base_pix
             else:
-                cap = _edit_caption(rng, base_cap, int(rng.integers(1, 4)))
+                # FIXTURES.md F1: edits must keep char-shingle jaccard above
+                # the 0.5 threshold — scale edit count with caption length
+                # (1 edit for short captions, up to 3 for 24-word ones)
+                n_words = base_cap.count(" ") + 1
+                max_edits = max(1, min(3, n_words // 8))
+                cap = _edit_caption(rng, base_cap, int(rng.integers(1, max_edits + 1)))
                 if with_bytes:
                     pix = base_pix.copy()
                     nnoise = int(0.05 * pix.size * rng.random())

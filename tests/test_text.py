@@ -1,0 +1,82 @@
+"""Text-analysis operators over the documents table (JVM-side paths)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gaoya_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    ngram_jaccard_pairs,
+    quality_score,
+    token_count,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    d.count()
+    return d
+
+
+def test_token_count(spark, docs):
+    rows = token_count(docs).select("doc_id", "text", "n_tokens").collect()
+    for r in rows[:50]:
+        assert r["n_tokens"] == len([t for t in r["text"].split(" ") if t])
+
+
+def test_quality_score_ranges(spark, docs):
+    q = quality_score(docs).collect()
+    for r in q:
+        assert 0 <= r["distinct_ratio"] <= 1
+        assert 0 <= r["quality_score"] <= 1
+        assert r["n_distinct_tokens"] <= r["n_tokens"]
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is a pet"),
+            (2, "el perro y la casa de los gatos que ladran"),
+            (3, "der hund und die katze das ist ein tier"),
+            (4, "zzz qqq www"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_doc_fingerprint_stability(spark, docs):
+    fp1 = {r["doc_id"]: (r["fp_min"], r["fp_max"]) for r in doc_fingerprint(docs).collect()}
+    fp2 = {r["doc_id"]: (r["fp_min"], r["fp_max"]) for r in doc_fingerprint(docs).collect()}
+    assert fp1 == fp2
+    assert all(v[0] is not None for v in fp1.values())
+    # identical docs share fingerprints; distinct docs mostly don't
+    assert len({v for v in fp1.values()}) > len(fp1) * 0.9
+
+
+def test_ngram_jaccard_pairs_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),
+            (2, "abcdefghij"),      # identical -> jaccard 1.0
+            (3, "abcdefghiX"),      # near dup
+            (4, "zzzzyyyyxxxx"),    # unrelated
+        ],
+        "id long, text string",
+    )
+    pairs = {(r["src"], r["dst"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) not in pairs
+    # doc1 has 8 distinct 3-grams, doc3 shares 7 of them: 7/(8+8-7)=7/9
+    assert abs(pairs[(1, 3)] - 7 / 9) < 1e-6
+
+
+def test_ngram_jaccard_pairs_on_documents(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+    # word-salad docs share vocabulary but not 90% of char 3-grams
+    assert pairs.count() < 200
