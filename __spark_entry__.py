@@ -137,6 +137,141 @@ def _q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLE_SIMHASH = SimHashConfig(
+    nbits=32,
+    num_blocks=6,
+    max_distance=5,
+    tokenizer=_SPACE_TOKENIZER,
+    token_hasher="md5_60",
+)
+
+
+def _q_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lsh = SimHashLSH(ORACLE_SIMHASH)
+    return lsh.signatures(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("id").alias("doc_id"), F.col("sig").alias("simhash")
+    )
+
+
+def _q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball LSH pairs, dist strictly < 5 (Q8 semantics). The block
+    enumeration is pigeonhole-complete, so results equal the all-pairs scan
+    the oracle runs."""
+    lsh = SimHashLSH(ORACLE_SIMHASH)
+    sigs = lsh.signatures(_docs(spark, sf_dir), "doc_id", "text")
+    return lsh.dedup_pairs(sigs).select("src", "dst", F.col("dist").cast("long").alias("dist"))
+
+
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaoya_spark.operators.text import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.62
+    )
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaoya_spark.operators.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "mean_word_len",
+        "distinct_ratio", "quality_score",
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaoya_spark.operators.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaoya_spark.operators.text import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_min", "fp_max")
+
+
+def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaoya_spark.operators.substring import substring_pairs
+
+    return substring_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", min_len=24
+    ).select("src", "dst")
+
+
+def _q_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 probe semantics: every 50th doc queries the full index, matches
+    at estimate >= 0.5 (includes the probe's own row)."""
+    lsh = MinHashLSH(ORACLE_MINHASH)
+    sigs = _minhash_sigs_oracle(spark, sf_dir)
+    probes = sigs.where(F.col("id") % 50 == 0)
+    return lsh.query(sigs, probes, keep_sim=True).select(
+        "qid", "id", F.round("sim", 6).alias("sim")
+    )
+
+
+def _q_minhash_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: unfiltered top-5 per probe by similarity desc, id asc."""
+    lsh = MinHashLSH(ORACLE_MINHASH)
+    sigs = _minhash_sigs_oracle(spark, sf_dir)
+    probes = sigs.where(F.col("id") % 50 == 0)
+    return lsh.query_top_k(sigs, probes, 5).select(
+        "qid", "id", F.round("sim", 6).alias("sim")
+    )
+
+
+def _q_minhash_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P18 per-position mode over each source-group's signatures."""
+    lsh = MinHashLSH(ORACLE_MINHASH)
+    docs = _docs(spark, sf_dir)
+    sigs = lsh.signatures(docs, "doc_id", "text").join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    cent = lsh.minhash_centroid(sigs, "source")
+    return cent.select(
+        "source", F.posexplode("centroid").alias("pos", "val")
+    ).select("source", "pos", F.col("val").cast("long").alias("val"))
+
+
+def _q_components_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: connected components over exact n-gram-jaccard edges (>= 0.8)."""
+    from gaoya_spark.operators.text import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    edges = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    labels = connected_components(edges, nodes=docs.select("doc_id"), max_iter=30)
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+def _q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 per probe over 1e-3-quantized embeddings
+    (integer dot products -> bit-identical across engines)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")).alias("qv"),
+    )
+    probes = q.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("pv")
+    )
+    dot = F.aggregate(F.zip_with("pv", "qv", lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, v: acc + v)
+    na = F.aggregate("pv", F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    nb = F.aggregate("qv", F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    scored = (
+        probes.crossJoin(q)
+        .where(F.col("qid") != F.col("vec_id"))
+        .withColumn("cosine", F.round(dot / F.sqrt((na * nb).cast("double")), 6))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("qid", F.col("vec_id").alias("id"), "cosine")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_count": _q_token_count,
@@ -144,6 +279,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_keep_first": _q_exact_dedup_keep_first,
         "minhash_signature": _q_minhash_signature,
         "minhash_band_pairs": _q_minhash_band_pairs,
+        "minhash_query": _q_minhash_query,
+        "minhash_top_k": _q_minhash_top_k,
+        "minhash_centroid": _q_minhash_centroid,
+        "simhash_signature": _q_simhash_signature,
+        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "substring_pairs": _q_substring_pairs,
+        "components_ngram": _q_components_ngram,
+        "embedding_cosine_topk": _q_embedding_cosine_topk,
     }
 
 
@@ -196,8 +343,192 @@ def _sql_minhash_pairs() -> str:
     )
 
 
+_MD5_60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _sql_toks_all() -> str:
+    """All space tokens per doc, duplicates preserved (simhash votes count
+    repeated tokens, mirroring the reference's iterator semantics)."""
+    return (
+        "toks_all AS (SELECT doc_id, tok FROM documents, "
+        "unnest(string_split(text, ' ')) AS t(tok) WHERE tok <> '')"
+    )
+
+
+def _sql_simhash_sig() -> str:
+    h = _MD5_60.format(x="tok")
+    return (
+        f"{_sql_toks_all()}, "
+        f"h_all AS (SELECT doc_id, {h} AS h FROM toks_all), "
+        "votes AS (SELECT doc_id, b.b AS bit, "
+        "sum(CASE WHEN (h >> b.b) & 1 = 0 THEN 1 ELSE -1 END) AS v "
+        "FROM h_all, range(0, 32) AS b(b) GROUP BY doc_id, b.b), "
+        "simsig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) "
+        "ELSE 0 END) AS BIGINT) AS simhash FROM votes GROUP BY doc_id)"
+    )
+
+
+def _sql_ngram_ctes(threshold: float) -> str:
+    return (
+        "g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(text) - 1), "
+        "i -> substr(text, i, 3))) AS s FROM documents WHERE len(text) >= 3), "
+        "g AS (SELECT DISTINCT doc_id, s FROM g0), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i "
+        "FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "jac AS (SELECT src, dst, round(i / (na.n + nb.n - i), 6) AS jaccard "
+        "FROM inter JOIN sz na ON src = na.doc_id JOIN sz nb ON dst = nb.doc_id "
+        f"WHERE round(i / (na.n + nb.n - i), 6) >= {threshold})"
+    )
+
+
+def _sql_query_probes(mod: int = 50) -> str:
+    k = ORACLE_MINHASH.num_hashes
+    eq = " + ".join(f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(k))
+    return (
+        f"WITH {_sql_tokens_cte()}, {_sql_sig_cte()}, {_sql_bands_cte()}, "
+        "cand AS (SELECT DISTINCT a.doc_id AS qid, b.doc_id AS id FROM bands a "
+        "JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key "
+        f"WHERE a.doc_id % {mod} = 0) "
+        f"SELECT c.qid, c.id, round(({eq}) / {k}.0, 6) AS sim FROM cand c "
+        "JOIN sig sa ON c.qid = sa.doc_id JOIN sig sb ON c.id = sb.doc_id "
+        f"WHERE ({eq}) / {k}.0 >= 0.5"
+    )
+
+
+def _sql_top_k(mod: int = 50, topk: int = 5) -> str:
+    k = ORACLE_MINHASH.num_hashes
+    eq = " + ".join(f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(k))
+    return (
+        f"WITH {_sql_tokens_cte()}, {_sql_sig_cte()}, {_sql_bands_cte()}, "
+        "cand AS (SELECT DISTINCT a.doc_id AS qid, b.doc_id AS id FROM bands a "
+        "JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key "
+        f"WHERE a.doc_id % {mod} = 0), "
+        f"scored AS (SELECT c.qid, c.id, round(({eq}) / {k}.0, 6) AS sim FROM cand c "
+        "JOIN sig sa ON c.qid = sa.doc_id JOIN sig sb ON c.id = sb.doc_id), "
+        "r AS (SELECT qid, id, sim, row_number() OVER "
+        "(PARTITION BY qid ORDER BY sim DESC, id ASC) AS rn FROM scored) "
+        f"SELECT qid, id, sim FROM r WHERE rn <= {topk}"
+    )
+
+
+def _sql_centroid() -> str:
+    k = ORACLE_MINHASH.num_hashes
+    pv = " UNION ALL ".join(
+        f"SELECT source, {i} AS pos, s{i} AS val FROM sigsrc" for i in range(k)
+    )
+    return (
+        f"WITH {_sql_tokens_cte()}, {_sql_sig_cte()}, "
+        "sigsrc AS (SELECT s.*, d.source FROM sig s JOIN documents d USING (doc_id)), "
+        f"pv AS ({pv}), "
+        "counts AS (SELECT source, pos, val, count(*) AS c FROM pv GROUP BY 1, 2, 3), "
+        "r AS (SELECT source, pos, val, row_number() OVER "
+        "(PARTITION BY source, pos ORDER BY c DESC, val ASC) AS rn FROM counts) "
+        "SELECT source, pos, CAST(val AS BIGINT) AS val FROM r WHERE rn = 1"
+    )
+
+
+def _sql_components() -> str:
+    return (
+        f"WITH RECURSIVE {_sql_ngram_ctes(0.8)}, "
+        "sym AS (SELECT src AS a, dst AS b FROM jac "
+        "UNION SELECT dst, src FROM jac), "
+        "reach (id, r) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT s.a, r.r FROM sym s JOIN reach r ON s.b = r.id) "
+        "SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id"
+    )
+
+
+def _sql_lang_id() -> str:
+    from gaoya_spark.operators.text import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    hit_cols = ", ".join(
+        "len(list_filter(toks[1:64], x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        + f"], x))) AS hits_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    cases = " ".join(
+        f"WHEN {best} > 0 AND hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), "
+        f"h AS (SELECT doc_id, {hit_cols} FROM t) "
+        f"SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_pred FROM h"
+    )
+
+
+def _sql_embedding_topk() -> str:
+    return (
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)::DOUBLE) AS qv FROM embeddings), "
+        "p AS (SELECT vec_id AS qid, qv AS pv FROM q WHERE vec_id % 25 = 0), "
+        "s AS (SELECT p.qid, q.vec_id AS id, "
+        "round(list_dot_product(p.pv, q.qv) / "
+        "sqrt(list_dot_product(p.pv, p.pv) * list_dot_product(q.qv, q.qv)), 6) "
+        "AS cosine FROM p, q WHERE p.qid <> q.vec_id), "
+        "r AS (SELECT qid, id, cosine, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rn FROM s) "
+        "SELECT qid, id, cosine FROM r WHERE rn <= 3"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "simhash_signature": (
+            f"WITH {_sql_simhash_sig()} SELECT d.doc_id, "
+            "coalesce(s.simhash, 0) AS simhash FROM documents d "
+            "LEFT JOIN simsig s USING (doc_id)"
+        ),
+        "simhash_hamming_pairs": (
+            f"WITH {_sql_simhash_sig()} "
+            "SELECT a.doc_id AS src, b.doc_id AS dst, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist "
+            "FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) < 5"
+        ),
+        "ngram_jaccard_pairs": (
+            f"WITH {_sql_ngram_ctes(0.62)} SELECT src, dst, jaccard FROM jac"
+        ),
+        "quality_score": (
+            "WITH t AS (SELECT doc_id, len(text) AS chars, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), "
+            "m AS (SELECT doc_id, chars, len(toks) AS n, "
+            "len(list_distinct(toks)) AS nd FROM t) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, "
+            "CAST(nd AS BIGINT) AS n_distinct_tokens, "
+            "CASE WHEN n > 0 THEN round((chars - (n - 1)) / n, 6) ELSE 0.0 END AS mean_word_len, "
+            "CASE WHEN n > 0 THEN round(nd / n, 6) ELSE 0.0 END AS distinct_ratio, "
+            "round(least(n / 64.0, 1.0) * (CASE WHEN n > 0 THEN round(nd / n, 6) "
+            "ELSE 0.0 END), 6) AS quality_score FROM m"
+        ),
+        "lang_id": _sql_lang_id(),
+        "doc_fingerprint": (
+            "SELECT doc_id, "
+            "CASE WHEN len(text) >= 16 THEN list_min(list_transform("
+            "range(0, CAST((len(text) - 16) // 8 AS INTEGER) + 1), "
+            "i -> ('0x' || substr(md5(substr(text, i * 8 + 1, 16)), 1, 15))::BIGINT)) "
+            "END AS fp_min, "
+            "CASE WHEN len(text) >= 16 THEN list_max(list_transform("
+            "range(0, CAST((len(text) - 16) // 8 AS INTEGER) + 1), "
+            "i -> ('0x' || substr(md5(substr(text, i * 8 + 1, 16)), 1, 15))::BIGINT)) "
+            "END AS fp_max FROM documents"
+        ),
+        "substring_pairs": (
+            "WITH g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(text) - 22), "
+            "i -> substr(text, i, 24))) AS s FROM documents WHERE len(text) >= 24), "
+            "g24 AS (SELECT DISTINCT doc_id, s FROM g0) "
+            "SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst "
+            "FROM g24 a JOIN g24 b ON a.s = b.s AND a.doc_id < b.doc_id"
+        ),
+        "minhash_query": _sql_query_probes(),
+        "minhash_top_k": _sql_top_k(),
+        "minhash_centroid": _sql_centroid(),
+        "components_ngram": _sql_components(),
+        "embedding_cosine_topk": _sql_embedding_topk(),
         "token_count": (
             "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
             "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents"

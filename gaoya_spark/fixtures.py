@@ -29,12 +29,32 @@ IMAGES_SCHEMA = StructType(
     ]
 )
 
-_VOCAB = [
-    f"{w}{i}"
-    for i in range(20)
-    for w in ("sun", "tree", "cat", "river", "mountain", "sky", "boat", "road",
-              "house", "bird")
-]  # 200 words
+def _make_vocab(n: int = 6000, seed: int = 1234) -> list[str]:
+    """Deterministic pseudo-natural vocabulary. Needs to be large and
+    lexically diverse: with a tiny vocabulary every unrelated caption pair
+    shares most char shingles (est. jaccard ~0.35), and banded LSH at
+    (42, 3) then emits nearly all n^2/2 pairs as candidates — unlike real
+    web captions where unrelated pairs sit near 0."""
+    rng = np.random.default_rng(seed)
+    onsets = ["b", "br", "c", "ch", "d", "dr", "f", "fl", "g", "gr", "h", "j",
+              "k", "kl", "l", "m", "n", "p", "pr", "qu", "r", "s", "st", "str",
+              "t", "tr", "v", "w", "x", "z"]
+    vowels = ["a", "e", "i", "o", "u", "ai", "ea", "io", "ou"]
+    codas = ["", "n", "r", "s", "t", "l", "m", "ck", "nd", "st", "ng"]
+    words = set()
+    while len(words) < n:
+        k = int(rng.integers(2, 4))
+        w = "".join(
+            onsets[int(rng.integers(len(onsets)))]
+            + vowels[int(rng.integers(len(vowels)))]
+            + codas[int(rng.integers(len(codas)))]
+            for _ in range(k)
+        )
+        words.add(w)
+    return sorted(words)
+
+
+_VOCAB = _make_vocab()
 
 CORPUS5 = [
     (0, "This is the first document."),

@@ -1,0 +1,126 @@
+"""Structured-Streaming incremental near-duplicate detection.
+
+The reference's `insert` (W1) is an in-memory mutation; the streaming
+analogue is an append-only signatures table maintained by foreachBatch:
+
+  new images -> signature UDF -> (a) edges vs the existing index (join
+  against the signatures table), (b) edges within the micro-batch, then
+  (c) incremental labels: a new id adopts the smallest component among its
+  matched neighbors (or itself) — the streaming approximation of label
+  propagation (exact for star-shaped arrivals; a periodic batch
+  connected-components pass reconciles chains, same as any incremental CC).
+
+foreachBatch is the right tool (vs. stateful operators) because the "state"
+is the warehouse signatures table itself — shared with the batch pipeline,
+resumable, and unbounded-size (executor state stores are not designed for
+10^12 rows of signatures; a join against a table is).
+
+Checkpointing: Spark's streaming checkpointLocation gives exactly-once
+batch ids; the warehouse append is idempotent per batch id (batch output
+paths are keyed by epoch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gaoya_spark.config import MinHashConfig
+from gaoya_spark.operators.minhash_lsh import MinHashLSH
+from gaoya_spark.sources.warehouse import Warehouse
+
+
+class StreamingDedup:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: Warehouse,
+        cfg: MinHashConfig | None = None,
+        id_col: str = "image_id",
+        text_col: str = "caption",
+        phash_col: str | None = "phash",
+    ):
+        self.spark = spark
+        self.wh = warehouse
+        self.cfg = cfg or MinHashConfig()
+        self.lsh = MinHashLSH(self.cfg)
+        self.id_col, self.text_col, self.phash_col = id_col, text_col, phash_col
+
+    # ---------------------------------------------------------- batch logic
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body — also callable directly for unit tests."""
+        new_sigs = self.lsh.signatures(
+            batch_df, self.id_col, self.text_col, phash_col=self.phash_col
+        ).localCheckpoint(eager=True)
+
+        if self.wh.exists("stream_signatures"):
+            index = self.wh.read("stream_signatures")
+        else:
+            index = None
+
+        # edges inside the batch
+        edges = self.lsh.dedup_pairs(new_sigs).select("src", "dst")
+        if index is not None:
+            # edges between batch and the standing index (probe = new rows)
+            vs_index = (
+                self.lsh.query(index, new_sigs, keep_sim=False)
+                .where(F.col("qid") != F.col("id"))
+                .select(F.col("qid").alias("src"), F.col("id").alias("dst"))
+            )
+            edges = edges.unionByName(vs_index)
+        edges = edges.localCheckpoint(eager=True)
+
+        # incremental labels: new id -> min(existing neighbor component,
+        # new neighbor id, own id)
+        if self.wh.exists("stream_labels"):
+            labels = self.wh.read("stream_labels")
+        else:
+            labels = self.spark.createDataFrame(
+                [], "id string, component string"
+            ) if dict(new_sigs.dtypes)["id"] == "string" else self.spark.createDataFrame(
+                [], "id long, component long"
+            )
+        # symmetrize for the neighbor-min step: a batch-internal pair (a, b)
+        # must update BOTH endpoints (the canonical edge list stays directed)
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst", "left")
+            .groupBy("src")
+            .agg(
+                F.min(F.coalesce(F.col("component"), F.col("dst"))).alias("nbr_comp")
+            )
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            new_sigs.select("id")
+            .join(nbr, "id", "left")
+            .select("id", F.least(F.col("id"), F.coalesce("nbr_comp", "id")).alias("component"))
+        )
+
+        self.wh.append(new_sigs, "stream_signatures")
+        self.wh.append(edges.withColumn("batch_id", F.lit(batch_id)), "stream_edges")
+        self.wh.append(new_labels, "stream_labels")
+
+    # ------------------------------------------------------------- streaming
+    def start(self, stream_df: DataFrame, checkpoint_dir: str, trigger_once: bool = True):
+        """Attach to a streaming DataFrame (file source, Kafka, rate...)."""
+        writer = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def reconcile(self) -> DataFrame:
+        """Periodic exact pass: rerun connected components over all streamed
+        edges to fix chains the incremental rule can't see; overwrites
+        stream_labels."""
+        from gaoya_spark.operators.cluster import connected_components
+
+        edges = self.wh.read("stream_edges").select("src", "dst")
+        nodes = self.wh.read("stream_signatures").select("id")
+        labels = connected_components(edges, nodes=nodes)
+        self.wh.write(labels, "stream_labels_reconciled")
+        return self.wh.read("stream_labels_reconciled")
