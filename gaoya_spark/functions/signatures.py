@@ -23,27 +23,48 @@ from gaoya_spark import hashing
 from gaoya_spark.tokenize import tokenize
 
 
-def _phash_tokens(ph: int) -> list[str]:
-    """Encode a 64-bit phash as 8 positional byte tokens (north rule: fold
-    image perceptual-hash features into the caption token set). The \\x00
-    prefix cannot collide with text shingles."""
-    u = ph & 0xFFFFFFFFFFFFFFFF
-    return [f"\x00ph{i}:{(u >> (8 * i)) & 0xFF}" for i in range(8)]
+def _merge_phash_features(
+    hashes: np.ndarray, counts: np.ndarray, feats: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Append each doc's phash feature hashes to its token-hash segment
+    (vectorized scatter; doc-major layout preserved)."""
+    n, k = feats.shape
+    new_counts = counts + k
+    out = np.empty(hashes.size + n * k, dtype=np.uint64)
+    ends_new = np.cumsum(new_counts)
+    starts_new = ends_new - new_counts
+    starts_old = np.cumsum(counts) - counts
+    if hashes.size:
+        shift = np.repeat(starts_new - starts_old, counts)
+        out[np.arange(hashes.size) + shift] = hashes
+    feat_pos = (starts_new + counts)[:, None] + np.arange(k)[None, :]
+    out[feat_pos.ravel()] = feats.ravel()
+    return out, new_counts
 
 
 def _batch_tokens(texts: pd.Series, cfg, phash: pd.Series | None):
-    """Tokenize a batch -> (flat uint64 token-hash array, per-doc counts)."""
-    tok_lists = []
+    """Tokenize+hash a batch -> (flat uint64 token-hash array, per-doc
+    counts). Char-shingle FNV configs take the fully-vectorized numpy path
+    (no per-shingle Python strings); other tokenizers fall back to the
+    Python tokenizer with batch hashing. phash features (north rule) are
+    numeric splitmix64 hashes, identical in both paths."""
+    tk = cfg.tokenizer
+    if tk.analyzer is None and tk.kind == "char" and cfg.token_hasher == "fnv1a":
+        hashes, counts = hashing.fnv1a_char_shingles_batch(
+            list(texts), tk.n_from, tk.n_to, tk.lowercase
+        )
+    else:
+        tok_lists = [tokenize(t, tk) for t in texts]
+        counts = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        flat = [t for toks in tok_lists for t in toks]
+        hashes = hashing.hash_tokens(flat, cfg.token_hasher)
     weight = getattr(cfg, "phash_token_weight", 0)
-    ph_vals = phash.values if phash is not None else None
-    for i, t in enumerate(texts):
-        toks = tokenize(t, cfg.tokenizer)
-        if ph_vals is not None and weight > 0 and ph_vals[i] is not None:
-            toks = toks + _phash_tokens(int(ph_vals[i])) * weight
-        tok_lists.append(toks)
-    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
-    flat = [t for toks in tok_lists for t in toks]
-    hashes = hashing.hash_tokens(flat, cfg.token_hasher)
+    if phash is not None and weight > 0:
+        ph = phash.fillna(0).to_numpy(dtype=np.int64)
+        feats = hashing.phash_feature_hashes(ph, weight)
+        hashes, counts = _merge_phash_features(hashes, counts, feats)
     return hashes, counts
 
 

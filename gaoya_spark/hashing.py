@@ -66,6 +66,96 @@ def fnv1a_u64(tokens: list[bytes]) -> np.ndarray:
     return h
 
 
+def fnv1a_char_shingles_batch(
+    texts: list, n_from: int, n_to: int, lowercase: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fully-vectorized char-shingle tokenize+hash for a batch of texts.
+
+    Returns (token_hashes concatenated doc-major, per-doc counts). Avoids
+    materializing shingle strings entirely: texts are decoded once to a
+    UTF-32 codepoint array; the FNV-1a fold runs over sliding windows of
+    the concatenated array (4 bytes per codepoint, LE), and windows that
+    cross document boundaries are masked out. Hash values are a stable
+    uniform family (FNV over UTF-32LE bytes) — not byte-identical to the
+    UTF-8 path, which is irrelevant for behavioral parity (SURVEY.md
+    §7.2.1) but ~30x faster than per-shingle Python slicing.
+
+    Within a doc, hashes are grouped by shingle size (all n_from-grams,
+    then n_from+1, ...). MinHash (min) and SimHash (sum) are order-
+    invariant, so only counts matter.
+    """
+    n_docs = len(texts)
+    counts = np.zeros(n_docs, dtype=np.int64)
+    if n_docs == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    clean = [
+        ("" if t is None else (t.lower() if lowercase else t)) for t in texts
+    ]
+    lens = np.fromiter((len(t) for t in clean), dtype=np.int64, count=n_docs)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    joined = "".join(clean)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+
+    cp64 = cp.astype(np.uint64)
+
+    sizes = list(range(n_from, n_to + 1))
+    counts_by_n = [np.maximum(lens - n + 1, 0) for n in sizes]
+    counts = np.sum(counts_by_n, axis=0).astype(np.int64)
+    grand_total = int(counts.sum())
+    out = np.empty(grand_total, dtype=np.uint64)
+    # per-doc output base + running offset as the n-runs land
+    doc_base = np.cumsum(counts) - counts
+    run_offset = doc_base.copy()
+
+    with np.errstate(over="ignore"):
+        for n, cnt_n in zip(sizes, counts_by_n):
+            if total < n:
+                continue
+            n_windows = total - n + 1
+            # codepoint-level FNV-1a-style fold: one xor+mult per codepoint
+            # (a stable uniform family; byte-exactness is not a parity
+            # requirement, speed of this pass is)
+            h = np.full(n_windows, _FNV_OFFSET, dtype=np.uint64)
+            for j in range(n):
+                h ^= cp64[j : j + n_windows]
+                h *= _FNV_PRIME
+            # windows fully inside one doc: start and end share the doc
+            valid = doc_of[:n_windows] == doc_of[n - 1 :]
+            hv = h[valid]
+            # valid windows are already doc-major; place each doc's n-run
+            # analytically (no sort): rank-within-run + current offset
+            total_n = int(cnt_n.sum())
+            if total_n == 0:
+                continue
+            run_starts = np.cumsum(cnt_n) - cnt_n
+            rank = np.arange(total_n, dtype=np.int64) - np.repeat(run_starts, cnt_n)
+            idx = np.repeat(run_offset, cnt_n) + rank
+            out[idx] = hv
+            run_offset += cnt_n
+    return out, counts
+
+
+def phash_feature_hashes(phash: np.ndarray, weight: int = 1) -> np.ndarray:
+    """(n_docs, 8*weight) u64 feature hashes for the 8 bytes of a 64-bit
+    perceptual hash (north rule: phash features fold into the minhash token
+    set). Numeric (splitmix64 of byte|position) so the vectorized and
+    Python tokenizer paths produce identical signatures."""
+    u = phash.astype(np.int64).view(np.uint64)
+    bytes_ = np.stack(
+        [(u >> np.uint64(8 * i)) & np.uint64(0xFF) for i in range(8)], axis=1
+    )
+    pos = np.arange(8, dtype=np.uint64)[None, :]
+    feats = splitmix64(bytes_ | (pos << np.uint64(8)) | np.uint64(0xA5A5 << 16))
+    if weight > 1:
+        feats = np.repeat(feats, weight, axis=1)
+    return feats
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Stable 64-bit mix for integer tokens (pre-tokenized array<long> input)."""
     z = x.astype(np.uint64, copy=True)
@@ -123,9 +213,26 @@ def minhash_permutations(
 
 
 def _reduceat_min(mat: np.ndarray, starts: np.ndarray, counts: np.ndarray):
-    out = np.minimum.reduceat(mat, starts, axis=0)
-    out[counts == 0] = 0  # P9: empty doc -> all-zero signature
+    """Per-doc min with empty docs zeroed (P9). reduceat runs over the
+    non-empty docs only: their starts are strictly increasing and < len(mat),
+    and consecutive non-empty segments tile the matrix exactly — clamping
+    an empty doc's start instead would truncate the previous doc's segment."""
+    out = np.zeros((len(counts), mat.shape[1]), dtype=mat.dtype)
+    nonempty = counts > 0
+    if nonempty.any():
+        out[nonempty] = np.minimum.reduceat(mat, starts[nonempty], axis=0)
     return out
+
+
+def _mod_mersenne31_inplace(m: np.ndarray) -> np.ndarray:
+    """x % (2^31 - 1) for uint32 x, in place, without integer division:
+    x = hi*2^31 + lo with hi in {0,1}  =>  x mod P = (lo + hi) mod P."""
+    P = np.uint32(MERSENNE_PRIME_31)
+    hi = m >> np.uint32(31)
+    m &= P
+    m += hi
+    np.subtract(m, P, out=m, where=m >= P)
+    return m
 
 
 def minhash_signatures(
@@ -146,10 +253,7 @@ def minhash_signatures(
     k = len(a)
     starts = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(doc_token_counts[:-1], out=starts[1:])
-    # reduceat needs strictly valid indices even for empty docs; clamp and
-    # zero them afterwards
     total = len(token_hashes)
-    safe_starts = np.minimum(starts, max(total - 1, 0))
     out = np.empty((n_docs, k), dtype=np.uint64)
     if total == 0:
         out[:] = 0
@@ -173,11 +277,13 @@ def minhash_signatures(
                     m = (h[:, None] * a[None, :]) + b[None, :]
                     m %= np.uint64(MERSENNE_PRIME_61)
                 else:
+                    # u32 wrapping mul/add then mod 2^31-1 — exactly the
+                    # reference formula, with the Mersenne reduction done
+                    # by shift/mask (integer % is the slowest op here)
                     h32 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-                    m = (h32[:, None] * a.astype(np.uint32)[None, :]) + b.astype(
-                        np.uint32
-                    )[None, :]
-                    m %= np.uint32(MERSENNE_PRIME_31)
+                    m = h32[:, None] * a.astype(np.uint32)[None, :]
+                    m += b.astype(np.uint32)[None, :]
+                    _mod_mersenne31_inplace(m)
             elif formula == "modp":
                 hp = h % np.uint64(MERSENNE_PRIME_31)
                 m = (hp[:, None] * a[None, :]) + b[None, :]
@@ -185,10 +291,10 @@ def minhash_signatures(
             else:
                 raise ValueError(formula)
             out[lo:hi] = _reduceat_min(
-                m.astype(np.uint64),
-                safe_starts[lo:hi] - t0,
+                m,
+                starts[lo:hi] - t0,
                 doc_token_counts[lo:hi],
-            )
+            ).astype(np.uint64)
     return _truncate(out, hash_size, formula)
 
 
@@ -222,9 +328,12 @@ def simhash_signatures(
             np.int64
         )
         contrib = 1 - 2 * bits  # bit==0 -> +1, bit==1 -> -1
-        safe_starts = np.minimum(starts, len(token_hashes) - 1)
-        counts = np.add.reduceat(contrib, safe_starts, axis=0)
-        counts[doc_token_counts == 0] = 0
+        # reduceat over non-empty docs only (an empty doc's clamped start
+        # would truncate the previous doc's segment — see _reduceat_min)
+        counts = np.zeros((n_docs, nbits), dtype=np.int64)
+        nonempty = doc_token_counts > 0
+        if nonempty.any():
+            counts[nonempty] = np.add.reduceat(contrib, starts[nonempty], axis=0)
     else:
         counts = np.zeros((n_docs, nbits), dtype=np.int64)
     if phash is not None and phash_weight > 0:

@@ -38,6 +38,17 @@ from gaoya_spark.functions.signatures import (
 from gaoya_spark.functions.similarity import minhash_similarity_col
 
 
+def _is_materialized(df: DataFrame) -> bool:
+    """True if the DataFrame is cached or reads directly from storage (its
+    recomputation is cheap / lineage already cut)."""
+    try:
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            return True
+    except Exception:
+        pass
+    return False
+
+
 @dataclass
 class BandStats:
     """Skew metrics per band (reference's band_sizes/BandStats,
@@ -107,6 +118,7 @@ class MinHashLSH:
         max_bucket_size: int = 256,
         block_groups: int = 16,
         bucket_cap_hard: int = 100_000,
+        persist: bool = True,
     ) -> DataFrame:
         """All-corpus candidate pairs (src < dst), deduped across bands.
 
@@ -122,6 +134,12 @@ class MinHashLSH:
           `dropped_buckets` metrics from band_stats, never a silent cap.
         """
         bands = self.bands(sig_df)
+        if persist:
+            # bands feed three consumers (bucket sizing, small path, hot
+            # path); without materialization each re-runs the signature UDF.
+            # At scale the pipeline checkpoints signatures to a table first,
+            # which cuts lineage the same way.
+            bands = bands.persist()
         sizes = bands.groupBy("band_idx", "band_hash").agg(
             F.count("*").alias("bucket_size")
         )
@@ -186,6 +204,8 @@ class MinHashLSH:
         """Full-corpus near-duplicate pairs with sim >= threshold (Q2 uses
         >=, minhash_index.rs:556)."""
         t = self.cfg.threshold if threshold is None else threshold
+        if kw.get("persist", True) and not _is_materialized(sig_df):
+            sig_df = sig_df.persist()
         pairs = self.candidate_pairs(sig_df, **kw)
         return self.verify_pairs(pairs, sig_df).where(F.col("sim") >= t)
 

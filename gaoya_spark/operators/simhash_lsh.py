@@ -95,13 +95,16 @@ class SimHashLSH:
         ).select("id", "table_idx", "key")
 
     # ----------------------------------------------------------- dedup pairs
-    def candidate_pairs(self, sig_df: DataFrame, max_bucket_size: int = 4096) -> DataFrame:
+    def candidate_pairs(self, sig_df: DataFrame, max_bucket_size: int = 4096,
+                        persist: bool = True) -> DataFrame:
         """(src, dst) ids co-bucketed in >=1 table, deduped. Buckets above
         max_bucket_size are excluded (callers surface the metric via
         bucket_stats; masked-prefix buckets can explode when many docs share
         a simhash prefix — the all-zero signature of empty captions being
         the classic offender at web scale)."""
         t = self.tables(sig_df)
+        if persist:
+            t = t.persist()  # sizing + both join sides reuse the tables
         sizes = t.groupBy("table_idx", "key").agg(F.count("*").alias("n"))
         t = t.join(
             F.broadcast(sizes.where(F.col("n") > max_bucket_size)),
@@ -134,6 +137,10 @@ class SimHashLSH:
         """(src, dst, dist) pairs with hamming distance strictly below
         max_distance (Q8 strict '<')."""
         d = self.cfg.max_distance if max_distance is None else max_distance
+        if kw.get("persist", True) and not (
+            sig_df.storageLevel.useMemory or sig_df.storageLevel.useDisk
+        ):
+            sig_df = sig_df.persist()
         pairs = self.candidate_pairs(sig_df, **kw)
         sa = sig_df.select(F.col("id").alias("src"), F.col("sig").alias("sig_a"))
         sb = sig_df.select(F.col("id").alias("dst"), F.col("sig").alias("sig_b"))

@@ -7,23 +7,44 @@ from gaoya_spark.operators.cluster import (
 )
 
 
-def test_components_basic(spark):
+import pytest
+
+
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
+def test_components_basic(spark, driver_threshold):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
         "src long, dst long",
     )
-    labels = connected_components(edges)
+    labels = connected_components(edges, driver_threshold=driver_threshold)
     got = {r["id"]: r["component"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
-def test_components_chain_needs_iterations(spark):
-    """A long path graph exercises multi-iteration convergence."""
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
+def test_components_chain_needs_iterations(spark, driver_threshold):
+    """A long path graph exercises multi-iteration convergence (and the
+    union-find fast path on the same input)."""
     n = 40
     edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
-    labels = connected_components(edges)
+    labels = connected_components(edges, driver_threshold=driver_threshold)
     comps = {r["component"] for r in labels.collect()}
     assert comps == {0}
+
+
+def test_components_paths_agree(spark):
+    """Distributed propagation and driver union-find must produce identical
+    labels on a random graph."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 300, size=(400, 2)) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {r["id"]: r["component"]
+            for r in connected_components(df).collect()}
+    dist = {r["id"]: r["component"]
+            for r in connected_components(df, driver_threshold=0).collect()}
+    assert fast == dist
 
 
 def test_components_isolated_nodes(spark):

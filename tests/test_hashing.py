@@ -91,6 +91,38 @@ def test_empty_docs_mixed_into_batch():
     assert not (sig[0] == 0).all() and not (sig[2] == 0).all()
 
 
+def test_empty_doc_positions_do_not_corrupt_neighbors():
+    """Regression: an empty doc at the END of a batch must not truncate the
+    previous doc's reduceat segment (and likewise leading/consecutive)."""
+    toks = ["x", "y", "z", "w"]
+    h = hashing.hash_tokens(toks, "fnv1a")
+    a, b = hashing.minhash_permutations(8, 3, False)
+    for counts in ([2, 2, 0], [0, 2, 2], [2, 0, 0, 2], [4, 0]):
+        sig = hashing.minhash_signatures(h, np.array(counts), a, b, 32, "gaoya")
+        # each non-empty doc must equal the signature computed alone
+        pos = 0
+        for i, c in enumerate(counts):
+            if c == 0:
+                assert (sig[i] == 0).all()
+            else:
+                solo = hashing.minhash_signatures(
+                    h[pos : pos + c], np.array([c]), a, b, 32, "gaoya"
+                )[0]
+                assert (sig[i] == solo).all(), (counts, i)
+            pos += c
+    # same invariant for simhash votes
+    for counts in ([2, 2, 0], [0, 4], [3, 0, 1]):
+        s = hashing.simhash_signatures(h, np.array(counts))
+        pos = 0
+        for i, c in enumerate(counts):
+            if c == 0:
+                assert s[i] == 0
+            else:
+                solo = hashing.simhash_signatures(h[pos : pos + c], np.array([c]))[0]
+                assert s[i] == solo, (counts, i)
+            pos += c
+
+
 def test_simhash_near_duplicates_close():
     # behavioral mirror of sim_hash.rs:96-110 — near-identical paragraphs
     # land within hamming distance 8 at 64 bits

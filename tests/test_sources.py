@@ -1,0 +1,44 @@
+"""S1-S3: text-file loading with sequential ids + index build, and the
+warehouse table layer."""
+
+import os
+
+from gaoya_spark.config import MinHashConfig, TokenizerSpec
+from gaoya_spark.operators.minhash_lsh import MinHashLSH
+from gaoya_spark.sources.text_source import load_and_index, load_lines
+from gaoya_spark.sources.warehouse import Warehouse
+
+
+def test_load_lines_sequential_ids(spark, tmp_path):
+    p = tmp_path / "corpus.txt"
+    lines = [f"line number {i} with some words" for i in range(25)]
+    p.write_text("\n".join(lines))
+    df = load_lines(spark, str(p))
+    rows = {r["id"]: r["text"] for r in df.collect()}
+    assert rows == {i: lines[i] for i in range(25)}
+
+
+def test_load_and_index_counts(spark, tmp_path):
+    p = tmp_path / "c.txt"
+    p.write_text("\n".join(["aaa bbb ccc", "aaa bbb ccc", "xxx yyy zzz"]))
+    lsh = MinHashLSH(MinHashConfig(tokenizer=TokenizerSpec(kind="word", n_from=1, n_to=1)))
+    corpus, sigs = load_and_index(spark, str(p), lsh)
+    assert corpus.count() == sigs.count() == 3
+    s = {r["id"]: tuple(r["sig"]) for r in sigs.collect()}
+    assert s[0] == s[1] != s[2]
+
+
+def test_warehouse_roundtrip_and_manifest(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "w"))
+    df = spark.range(10).withColumnRenamed("id", "x")
+    out = wh.run_stage("s1", "t1", lambda: df)
+    assert out.count() == 10
+    assert wh.stage_done("s1")
+    m = wh.manifest()["stages"]["s1"]
+    assert m["rows"] == 10 and m["rows_per_sec"] > 0
+    # resume: build fn must NOT be called again
+    def boom():
+        raise AssertionError("stage rebuilt despite manifest")
+    assert wh.run_stage("s1", "t1", boom).count() == 10
+    wh.reset_stage("s1")
+    assert not wh.stage_done("s1")
