@@ -31,9 +31,12 @@ from gaoya_spark.config import MERSENNE_PRIME_31, MERSENNE_PRIME_61
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
-# keep per-chunk intermediate matrices around this many cells so executors
-# never materialize a tokens x num_hashes matrix larger than ~64MB
-_CHUNK_CELLS = 8_000_000
+# the affine+mod+min inner loop makes ~7 passes over its (tokens x hashes)
+# matrix; tiles must stay cache-resident or concurrent UDF workers saturate
+# DRAM bandwidth and stop scaling with cores. ~4k tokens x 64 hashes x 4B
+# = 1MB per tile.
+_TOKENS_PER_CHUNK = 4096
+_K_TILE = 64
 
 
 def fnv1a_u64(tokens: list[bytes]) -> np.ndarray:
@@ -254,48 +257,56 @@ def minhash_signatures(
     starts = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(doc_token_counts[:-1], out=starts[1:])
     total = len(token_hashes)
-    out = np.empty((n_docs, k), dtype=np.uint64)
     if total == 0:
-        out[:] = 0
-        return _truncate(out, hash_size, formula)
+        return _truncate(np.zeros((n_docs, k), dtype=np.uint64), hash_size, formula)
 
-    # chunk docs so the (tokens x k) intermediate stays bounded
+    fast32 = formula == "gaoya" and not bits64
+    if fast32:
+        out = np.empty((n_docs, k), dtype=np.uint32)
+        h_all = (token_hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        a_c, b_c = a.astype(np.uint32), b.astype(np.uint32)
+    else:
+        out = np.empty((n_docs, k), dtype=np.uint64)
+        if formula == "modp":
+            h_all = token_hashes % np.uint64(MERSENNE_PRIME_31)
+        else:
+            h_all = token_hashes
+        a_c, b_c = a, b
+
+    # chunk docs to ~_TOKENS_PER_CHUNK tokens each so every (tokens x
+    # K_TILE) tile stays cache-resident
     per_doc = max(int(doc_token_counts.mean()), 1)
-    docs_per_chunk = max(_CHUNK_CELLS // (per_doc * k), 1)
+    docs_per_chunk = max(_TOKENS_PER_CHUNK // per_doc, 1)
+    m_buf = None
     with np.errstate(over="ignore"):
         for lo in range(0, n_docs, docs_per_chunk):
             hi = min(lo + docs_per_chunk, n_docs)
             t0 = int(starts[lo])
             t1 = int(starts[hi]) if hi < n_docs else total
-            h = token_hashes[t0:t1]
+            h = h_all[t0:t1]
             if len(h) == 0:
                 out[lo:hi] = 0
                 continue
-            if formula == "gaoya":
-                if bits64:
-                    # 64-bit family: u64 wrapping mul/add, mod 2^61-1
-                    m = (h[:, None] * a[None, :]) + b[None, :]
+            hcol = h[:, None]
+            rel_starts = starts[lo:hi] - t0
+            cnts = doc_token_counts[lo:hi]
+            for kt in range(0, k, _K_TILE):
+                ke = min(kt + _K_TILE, k)
+                if fast32:
+                    # u32 wrapping mul/add then mod 2^31-1 — exactly the
+                    # reference formula; Mersenne reduction via shift/mask
+                    # (integer % is the slowest op here)
+                    m = np.multiply(hcol, a_c[None, kt:ke], out=None)
+                    m += b_c[None, kt:ke]
+                    _mod_mersenne31_inplace(m)
+                elif formula == "gaoya":
+                    m = (hcol * a_c[None, kt:ke]) + b_c[None, kt:ke]
                     m %= np.uint64(MERSENNE_PRIME_61)
                 else:
-                    # u32 wrapping mul/add then mod 2^31-1 — exactly the
-                    # reference formula, with the Mersenne reduction done
-                    # by shift/mask (integer % is the slowest op here)
-                    h32 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-                    m = h32[:, None] * a.astype(np.uint32)[None, :]
-                    m += b.astype(np.uint32)[None, :]
-                    _mod_mersenne31_inplace(m)
-            elif formula == "modp":
-                hp = h % np.uint64(MERSENNE_PRIME_31)
-                m = (hp[:, None] * a[None, :]) + b[None, :]
-                m %= np.uint64(MERSENNE_PRIME_31)
-            else:
-                raise ValueError(formula)
-            out[lo:hi] = _reduceat_min(
-                m,
-                starts[lo:hi] - t0,
-                doc_token_counts[lo:hi],
-            ).astype(np.uint64)
-    return _truncate(out, hash_size, formula)
+                    m = (hcol * a_c[None, kt:ke]) + b_c[None, kt:ke]
+                    m %= np.uint64(MERSENNE_PRIME_31)
+                out[lo:hi, kt:ke] = _reduceat_min(m, rel_starts, cnts)
+    return _truncate(out.astype(np.uint64), hash_size, formula)
 
 
 def _truncate(sig: np.ndarray, hash_size: int, formula: str) -> np.ndarray:

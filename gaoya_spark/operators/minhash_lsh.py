@@ -136,9 +136,10 @@ class MinHashLSH:
         bands = self.bands(sig_df)
         if persist:
             # bands feed three consumers (bucket sizing, small path, hot
-            # path); without materialization each re-runs the signature UDF.
-            # At scale the pipeline checkpoints signatures to a table first,
-            # which cuts lineage the same way.
+            # path); materializing them once is faster in absolute terms at
+            # every parallelism level measured (recomputing the explode+
+            # xxhash per consumer looks better in scaling RATIO only because
+            # it slows the small run more — not a real win).
             bands = bands.persist()
         sizes = bands.groupBy("band_idx", "band_hash").agg(
             F.count("*").alias("bucket_size")

@@ -30,7 +30,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # signatures tables of bench-scale corpora (~100-200MB) should
+        # broadcast in the verify join; on a real cluster AQE's runtime
+        # stats make this call per-query
+        .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
