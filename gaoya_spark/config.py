@@ -73,6 +73,10 @@ class MinHashConfig:
     tokenizer: TokenizerSpec = field(default_factory=TokenizerSpec)
     token_hasher: str = "fnv1a"
     formula: str = "gaoya"
+    # "affine" = k independent affine hashes (the reference's MinHasher);
+    # "superminhash" = one-permutation SuperMinHash (reference's
+    # experimental P10 variant, lower estimator variance)
+    scheme: str = "affine"
     seed: int = 3  # reference default StdRng::seed_from_u64(3)
     # phash folding (north rule): when a phash column is supplied, its 8
     # bytes are appended as extra tokens ("\x00ph{i}:{byte}") so near-equal
@@ -86,6 +90,8 @@ class MinHashConfig:
             raise ValueError(f"unknown token_hasher {self.token_hasher}")
         if self.formula not in SIGNATURE_FORMULAS:
             raise ValueError(f"unknown formula {self.formula}")
+        if self.scheme not in ("affine", "superminhash"):
+            raise ValueError(f"unknown scheme {self.scheme}")
 
     @property
     def num_hashes(self) -> int:

@@ -68,18 +68,32 @@ def _batch_tokens(texts: pd.Series, cfg, phash: pd.Series | None):
     return hashes, counts
 
 
+def _signature_kernel(cfg: MinHashConfig):
+    """Returns (hashes, counts) -> signature matrix for the configured
+    scheme (affine reference formula or SuperMinHash)."""
+    bits64 = cfg.hash_size == 64
+    if cfg.scheme == "superminhash":
+        def kernel(hashes, counts):
+            return hashing.superminhash_signatures(hashes, counts, cfg.num_hashes)
+        return kernel
+    a, b = hashing.minhash_permutations(cfg.num_hashes, cfg.seed, bits64)
+
+    def kernel(hashes, counts):
+        return hashing.minhash_signatures(
+            hashes, counts, a, b, cfg.hash_size, cfg.formula, bits64
+        )
+    return kernel
+
+
 def make_minhash_udf(cfg: MinHashConfig, with_phash: bool = False):
     """pandas_udf (text[, phash]) -> array<int|long> minhash signature."""
-    bits64 = cfg.hash_size == 64
-    a, b = hashing.minhash_permutations(cfg.num_hashes, cfg.seed, bits64)
+    kernel = _signature_kernel(cfg)
     elem = LongType() if cfg.hash_size >= 64 else IntegerType()
     ret = ArrayType(elem, containsNull=False)
 
     def compute(texts: pd.Series, phash: pd.Series | None) -> pd.Series:
         hashes, counts = _batch_tokens(texts, cfg, phash)
-        sig = hashing.minhash_signatures(
-            hashes, counts, a, b, cfg.hash_size, cfg.formula, bits64
-        )
+        sig = kernel(hashes, counts)
         if cfg.hash_size < 64:
             sig = sig.astype(np.int32)
         return pd.Series(list(sig))
@@ -103,10 +117,9 @@ def make_minhash_tokens_udf(cfg: MinHashConfig):
 
     Mirrors the reference's `insert_tokens` path where the analyzer output
     is supplied directly (/root/reference/py-gaoya/gaoya/minhash.py:193-198);
-    integer tokens are mixed with splitmix64 before the affine min-hash.
+    integer tokens are mixed with splitmix64 before the min-hash kernel.
     """
-    bits64 = cfg.hash_size == 64
-    a, b = hashing.minhash_permutations(cfg.num_hashes, cfg.seed, bits64)
+    kernel = _signature_kernel(cfg)
     elem = LongType() if cfg.hash_size >= 64 else IntegerType()
 
     @F.pandas_udf(ArrayType(elem, containsNull=False))
@@ -124,9 +137,7 @@ def make_minhash_tokens_udf(cfg: MinHashConfig):
                 hashes = hashing.splitmix64(flat)
             else:
                 hashes = np.empty(0, dtype=np.uint64)
-            sig = hashing.minhash_signatures(
-                hashes, counts, a, b, cfg.hash_size, cfg.formula, bits64
-            )
+            sig = kernel(hashes, counts)
             if cfg.hash_size < 64:
                 sig = sig.astype(np.int32)
             yield pd.Series(list(sig))

@@ -317,6 +317,58 @@ def _truncate(sig: np.ndarray, hash_size: int, formula: str) -> np.ndarray:
     return (sig & mask).astype(np.int64)
 
 
+def superminhash_signatures(
+    token_hashes: np.ndarray,
+    doc_token_counts: np.ndarray,
+    num_hashes: int,
+) -> np.ndarray:
+    """SuperMinHash (P10, arXiv 1706.05698) — one-permutation minwise
+    hashing with lower estimator variance than k independent hashes.
+
+    Behavioral port of the reference's experimental SuperMinHasher32V1
+    (/root/reference/gaoya/src/minhash/super_min_hash.rs:37-58): per token,
+    a seeded random permutation p of [0, m) and m uniforms r_j; signature
+    position j takes min over tokens of (r_j + p_j); floored to u32.
+    The per-token PRNG stream is replaced by counter-based splitmix64
+    randomness (same uniform/permutation distributions, fully vectorized);
+    parity is estimator-behavioral per SURVEY.md §7.2.1.
+    """
+    m = num_hashes
+    n_docs = len(doc_token_counts)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(doc_token_counts[:-1], out=starts[1:])
+    out = np.full((n_docs, m), 99999999.0, dtype=np.float64)
+    total = len(token_hashes)
+    if total:
+        j = np.arange(m, dtype=np.uint64)
+        chunk = max(_TOKENS_PER_CHUNK // max(m // _K_TILE, 1), 64)
+        with np.errstate(over="ignore"):
+            for lo_d in range(0, n_docs, max(chunk // 8, 1)):
+                hi_d = min(lo_d + max(chunk // 8, 1), n_docs)
+                t0 = int(starts[lo_d])
+                t1 = int(starts[hi_d]) if hi_d < n_docs else total
+                h = token_hashes[t0:t1]
+                if not len(h):
+                    continue
+                # permutation per token: argsort of per-(token, j) mix keys
+                perm_keys = splitmix64(h[:, None] ^ (j[None, :] * np.uint64(0x9E3779B97F4A7C15)))
+                p = np.argsort(perm_keys, axis=1)
+                # uniforms per (token, j)
+                u = splitmix64((h[:, None] + np.uint64(1)) ^ (j[None, :] * np.uint64(0xD1342543DE82EF95)))
+                r = (u >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+                vals = r + p.astype(np.float64)
+                cnts = doc_token_counts[lo_d:hi_d]
+                nonempty = cnts > 0
+                rel = starts[lo_d:hi_d] - t0
+                res = np.minimum.reduceat(vals, rel[nonempty], axis=0)
+                block = out[lo_d:hi_d]
+                block[nonempty] = res
+                out[lo_d:hi_d] = block
+    # empty docs keep the 99999999 sentinel, mirroring the reference's
+    # initializer (super_min_hash.rs:43 — note: NOT the P9 zero rule)
+    return out.astype(np.uint32).astype(np.int64)
+
+
 def simhash_signatures(
     token_hashes: np.ndarray,
     doc_token_counts: np.ndarray,

@@ -163,3 +163,19 @@ def test_splitmix64_deterministic_and_spread():
     h = hashing.splitmix64(x)
     assert len(np.unique(h)) == 1000
     assert (hashing.splitmix64(x) == h).all()
+
+
+def test_superminhash_estimator_and_sentinel():
+    """P10 (SuperMinHash V1, super_min_hash.rs:37-58): estimator within
+    reference tolerance; empty docs keep the 99999999 initializer."""
+    from gaoya_spark.config import TokenizerSpec
+    spec = TokenizerSpec(kind="word", n_from=1, n_to=1)
+    def sig(text, m=256):
+        toks = tokenize(text, spec)
+        h = hashing.hash_tokens(toks, "fnv1a")
+        return hashing.superminhash_signatures(h, np.array([len(toks)]), m)[0]
+    est = float((sig(S1) == sig(S2)).mean())
+    assert abs(est - _exact_jaccard(S1, S2)) < 0.15
+    assert (sig(S1) == sig(S1)).all()
+    e = hashing.superminhash_signatures(np.empty(0, dtype=np.uint64), np.array([0]), 8)
+    assert (e == 99999999).all()

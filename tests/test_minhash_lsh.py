@@ -153,3 +153,17 @@ def test_hot_bucket_blocking_exact(spark):
     got = {(r["src"], r["dst"]) for r in pairs_blocked.collect()}
     expected = {(a, b) for a in range(40) for b in range(40) if a < b}
     assert got == expected
+
+
+def test_corpus5_with_superminhash_scheme(spark):
+    """P10 end-to-end: the SuperMinHash scheme plugs into the same banded
+    LSH and reproduces the canonical corpus5 query groups."""
+    cfg = MinHashConfig(
+        num_bands=42, band_width=3, threshold=0.5, tokenizer=WORD,
+        scheme="superminhash",
+    )
+    lsh = MinHashLSH(cfg)
+    sigs = lsh.signatures(corpus5_df(spark), "id", "text")
+    res = lsh.query(sigs, sigs)
+    assert _matches(res, 0) == [0, 1, 2, 3]
+    assert _matches(res, 4) == [4]
