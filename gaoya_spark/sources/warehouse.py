@@ -28,6 +28,39 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+# DDL/DML templates used when an Iceberg runtime jar is on the classpath
+# (none in this sandbox — SURVEY.md §7.1). Table layout decisions for 10^12
+# rows: signatures partitioned by bucket(id) so the verify join can prune;
+# edges partitioned by bucket(src); snapshot retention covers resume windows.
+ICEBERG_TABLE_DDL = {
+    "signatures": (
+        "CREATE TABLE IF NOT EXISTS {catalog}.{db}.signatures "
+        "(id STRING, sig ARRAY<INT>) USING iceberg "
+        "PARTITIONED BY (bucket(512, id)) "
+        "TBLPROPERTIES ('write.distribution-mode'='hash', "
+        "'history.expire.max-snapshot-age-ms'='604800000')"
+    ),
+    "candidate_edges": (
+        "CREATE TABLE IF NOT EXISTS {catalog}.{db}.candidate_edges "
+        "(src STRING, dst STRING) USING iceberg "
+        "PARTITIONED BY (bucket(512, src))"
+    ),
+    "cluster_labels": (
+        "CREATE TABLE IF NOT EXISTS {catalog}.{db}.cluster_labels "
+        "(id STRING, component STRING) USING iceberg "
+        "PARTITIONED BY (bucket(512, id))"
+    ),
+}
+
+# W3 removal and W8 idempotent upsert as Iceberg DML (merge-on-read delete
+# files make these metadata-cheap at scale)
+ICEBERG_DELETE = "DELETE FROM {table} WHERE id IN (SELECT id FROM {ids_view})"
+ICEBERG_UPSERT = (
+    "MERGE INTO {table} t USING {updates_view} u ON t.id = u.id "
+    "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+)
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(
