@@ -1,5 +1,47 @@
 from gaoya_spark.operators.minhash_lsh import MinHashLSH
 from gaoya_spark.operators.simhash_lsh import SimHashLSH
-from gaoya_spark.operators.cluster import connected_components, clusters_from_labels
+from gaoya_spark.operators.cluster import (
+    clusters_from_labels,
+    connected_components,
+    duplicate_pair_recall,
+)
+from gaoya_spark.operators.dedup import (
+    embedding_dedup,
+    exact_dedup,
+    exact_dup_pairs,
+    minhash_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+from gaoya_spark.operators.substring import substring_pairs
+from gaoya_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    ngram_jaccard_pairs,
+    quality_score,
+    token_count,
+)
+from gaoya_spark.operators.ann import brute_force_topk, ivf_topk, rp_lsh_topk
 
-__all__ = ["MinHashLSH", "SimHashLSH", "connected_components", "clusters_from_labels"]
+__all__ = [
+    "MinHashLSH",
+    "SimHashLSH",
+    "connected_components",
+    "clusters_from_labels",
+    "duplicate_pair_recall",
+    "exact_dedup",
+    "exact_dup_pairs",
+    "minhash_dedup",
+    "simhash_dedup",
+    "ngram_jaccard_dedup",
+    "embedding_dedup",
+    "substring_pairs",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "ngram_jaccard_pairs",
+    "brute_force_topk",
+    "rp_lsh_topk",
+    "ivf_topk",
+]

@@ -102,3 +102,19 @@ def test_invariants_hold(spark, images, tmp_path_factory):
     pipe = DedupPipeline(spark, wh)
     res = pipe.verify_invariants(df, df, sample_frac=0.2)
     assert res["caption_ok"] and res["psnr_ok"]
+
+
+def test_pipeline_with_substring_stage(spark, images, tmp_path_factory):
+    """All three edge sources enabled; substring stage contributes its
+    table and the pipeline still resumes cleanly."""
+    from gaoya_spark.plans.pipeline import DedupPipeline, PipelineConfig
+
+    df, truth = images
+    wh = str(tmp_path_factory.mktemp("wh_sub"))
+    cfg = PipelineConfig(use_substring=True, substring_min_len=24)
+    pipe = DedupPipeline(spark, wh, cfg)
+    clusters = pipe.run(df)
+    assert clusters.count() > 0
+    assert pipe.wh.exists("substring_edges")
+    stages = {m["stage"] for m in pipe._stage_meta}
+    assert "substring_edges" in stages
