@@ -60,6 +60,7 @@ class PipelineConfig:
     substring_min_len: int = 24
     min_cluster_size: int = 2
     max_bucket_size: int = 256
+    bucket_cap_hard: int = 100_000
     id_col: str = "image_id"
     caption_col: str = "caption"
     phash_col: str | None = "phash"
@@ -88,8 +89,11 @@ class DedupPipeline:
         )
         mh_edges = self._stage(
             "minhash_edges",
-            lambda: mh.dedup_pairs(mh_sigs, max_bucket_size=c.max_bucket_size)
-            .select("src", "dst"),
+            lambda: mh.dedup_pairs(
+                mh_sigs,
+                max_bucket_size=c.max_bucket_size,
+                bucket_cap_hard=c.bucket_cap_hard,
+            ).select("src", "dst"),
             force,
         )
         edge_frames = [mh_edges]
@@ -164,8 +168,17 @@ class DedupPipeline:
         )
         self.wh.write(stage_df, "metrics_stages")
 
-        # band skew (reference W5 band_sizes/BandStats analogue)
-        self.wh.write(mh.band_stats(mh.bands(mh_sigs)), "metrics_band_skew")
+        # band skew (reference W5 band_sizes/BandStats analogue) + the
+        # hot/dropped bucket counts for this run's candidate thresholds, so
+        # buckets excluded by the hard cap are recorded, never silent
+        self.wh.write(
+            mh.band_stats(
+                mh.bands(mh_sigs),
+                max_bucket_size=self.cfg.max_bucket_size,
+                bucket_cap_hard=self.cfg.bucket_cap_hard,
+            ),
+            "metrics_band_skew",
+        )
 
         # per-partition lineage of the signatures table
         lineage = (

@@ -73,7 +73,13 @@ def test_pipeline_resume_skips_stages(spark, images, tmp_path_factory):
     stages = p2.wh.read("metrics_stages").collect()
     assert {r["stage"] for r in stages} >= {"minhash_signatures", "edges", "labels"}
     skew = p2.wh.read("metrics_band_skew")
-    assert skew.columns == ["band_idx", "n_buckets", "max_bucket", "avg_bucket"]
+    assert skew.columns == [
+        "band_idx", "n_buckets", "max_bucket", "avg_bucket", "n_hot", "n_dropped",
+    ]
+    # the hard cap drops nothing at this scale — and the metric proves it
+    # (the "never silent" claim in candidate_pairs' docstring)
+    agg = skew.agg(F.sum("n_dropped").alias("d")).collect()[0]
+    assert agg["d"] == 0
     lineage = p2.wh.read("metrics_lineage").collect()
     assert sum(r["rows"] for r in lineage) == df.count()
 
