@@ -95,61 +95,174 @@ class SimHashLSH:
         ).select("id", "table_idx", "key")
 
     # ----------------------------------------------------------- dedup pairs
-    def candidate_pairs(self, sig_df: DataFrame, max_bucket_size: int = 4096,
-                        persist: bool = True) -> DataFrame:
-        """(src, dst) ids co-bucketed in >=1 table, deduped. Buckets above
-        max_bucket_size are excluded (callers surface the metric via
-        bucket_stats; masked-prefix buckets can explode when many docs share
-        a simhash prefix — the all-zero signature of empty captions being
-        the classic offender at web scale)."""
-        t = self.tables(sig_df)
-        if persist:
-            t = t.persist()  # sizing + both join sides reuse the tables
-        sizes = t.groupBy("table_idx", "key").agg(F.count("*").alias("n"))
-        t = t.join(
-            F.broadcast(sizes.where(F.col("n") > max_bucket_size)),
-            ["table_idx", "key"],
-            "left_anti",
-        )
-        a, b = t.alias("a"), t.alias("b")
-        return (
-            a.join(b, ["table_idx", "key"])
-            .where(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
-            .dropDuplicates(["src", "dst"])
+    def _sid_tables(self, sig_df: DataFrame) -> DataFrame:
+        """(sid, sig, tk): 8-byte id surrogate, the 8-byte signature itself,
+        and one 8-byte table key per enumerated mask (tk = xxhash64 of the
+        masked signature seeded by the table index — one long key instead of
+        (table_idx, key), exactly like the MinHash band key; a cross-table
+        collision only adds a candidate, and candidates are distance-checked
+        exactly)."""
+        keys = F.array(*[
+            F.xxhash64(F.col("sig").bitwiseAND(F.lit(_to_i64(m))), F.lit(i))
+            for i, m in enumerate(self.masks)
+        ])
+        return sig_df.select(
+            F.xxhash64("id").alias("sid"), "sig", F.explode(keys).alias("tk")
         )
 
-    def bucket_stats(self, sig_df: DataFrame) -> DataFrame:
-        """C5/O9: avg/max bucket occupancy per table — skew metrics."""
+    def _sid_dist_pairs(
+        self,
+        sig_df: DataFrame,
+        max_bucket_size: int = 4096,
+        array_bucket_limit: int = 512,
+        block_groups: int = 16,
+        max_distance: int | None = None,
+        persist: bool = True,
+    ) -> DataFrame:
+        """(src, dst, dist) in sid space, deduped across tables. The 8-byte
+        signature rides inside the bucket arrays, so the Hamming distance is
+        computed map-side during pair generation and (when max_distance is
+        given) candidates are filtered BEFORE the dedup shuffle — the only
+        wide exchange carries surviving pairs. Buckets <= array_bucket_limit
+        expand via JVM array combinatorics; (array_bucket_limit,
+        max_bucket_size] fall back to the triangle-block join; larger
+        buckets (the all-empty-caption pathology at web scale) are excluded
+        — bucket_stats(max_bucket_size=...) records how many."""
+        buckets = (
+            self._sid_tables(sig_df)
+            .groupBy("tk")
+            .agg(F.array_sort(F.collect_list(F.struct("sid", "sig"))).alias("ms"))
+            .where(F.size("ms") >= 2)
+        )
+        if persist:
+            buckets = buckets.persist()
+        ms = F.col("ms")
+        pair_structs = F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + 2, F.size(ms)),
+                    lambda y: F.struct(
+                        x["sid"].alias("src"),
+                        y["sid"].alias("dst"),
+                        x["sig"].alias("sig_a"),
+                        y["sig"].alias("sig_b"),
+                    ),
+                ),
+            )
+        )
+        raw = (
+            buckets.where(F.size("ms") <= array_bucket_limit)
+            .select(F.explode(pair_structs).alias("p"))
+            .select(
+                "p.src", "p.dst",
+                hamming_distance_col(F.col("p.sig_a"), F.col("p.sig_b")).alias("dist"),
+            )
+        )
+        has_big = (
+            persist
+            and buckets.where(F.size("ms") > array_bucket_limit).limit(1).count() > 0
+        ) or not persist
+        if has_big:
+            mid = buckets.where(
+                (F.size("ms") > array_bucket_limit) & (F.size("ms") <= max_bucket_size)
+            ).select("tk", F.explode("ms").alias("m")).select(
+                "tk", F.col("m.sid").alias("sid"), F.col("m.sig").alias("sig")
+            )
+            g = F.pmod(F.xxhash64("sid", F.lit(0x5A17)), F.lit(block_groups))
+            mid_g = mid.withColumn("g", g)
+            left = mid_g.withColumn(
+                "g2", F.explode(F.sequence(F.col("g"), F.lit(block_groups - 1)))
+            ).select(
+                "tk", F.col("sid").alias("lid"), F.col("sig").alias("lsig"),
+                F.col("g").alias("g1"), "g2",
+            )
+            right = mid_g.select(
+                "tk", F.col("sid").alias("rid"), F.col("sig").alias("rsig"),
+                F.col("g").alias("g2"),
+            )
+            pairs_mid = (
+                left.join(right, ["tk", "g2"])
+                .where(
+                    (F.col("g1") < F.col("g2"))
+                    | ((F.col("g1") == F.col("g2")) & (F.col("lid") < F.col("rid")))
+                )
+                .select(
+                    F.least("lid", "rid").alias("src"),
+                    F.greatest("lid", "rid").alias("dst"),
+                    hamming_distance_col(F.col("lsig"), F.col("rsig")).alias("dist"),
+                )
+            )
+            raw = raw.unionByName(pairs_mid)
+        if max_distance is not None:
+            raw = raw.where(F.col("dist") < max_distance)
+        return raw.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+
+    def candidate_pairs(self, sig_df: DataFrame, max_bucket_size: int = 4096,
+                        persist: bool = True) -> DataFrame:
+        """(src, dst) ids co-bucketed in >=1 table, deduped — public
+        id-space wrapper (no distance filter)."""
+        cand = self._sid_dist_pairs(
+            sig_df, max_bucket_size=max_bucket_size, persist=persist
+        )
+        m = sig_df.select(F.xxhash64("id").alias("sid"), "id")
+        ma = m.select(F.col("sid").alias("src"), F.col("id").alias("src_id"))
+        mb = m.select(F.col("sid").alias("dst"), F.col("id").alias("dst_id"))
+        return (
+            cand.join(ma, "src")
+            .join(mb, "dst")
+            .select(
+                F.least("src_id", "dst_id").alias("src"),
+                F.greatest("src_id", "dst_id").alias("dst"),
+            )
+        )
+
+    def bucket_stats(
+        self,
+        sig_df: DataFrame,
+        max_bucket_size: int | None = None,
+    ) -> DataFrame:
+        """C5/O9: avg/max bucket occupancy per table — skew metrics. With
+        max_bucket_size, also counts buckets the dedup path excluded
+        (n_dropped), so the cap is recorded, never silent."""
         t = self.tables(sig_df)
+        aggs = [
+            F.count("*").alias("n_buckets"),
+            F.avg("n").alias("avg_bucket"),
+            F.max("n").alias("max_bucket"),
+        ]
+        if max_bucket_size is not None:
+            aggs.append(
+                F.sum((F.col("n") > max_bucket_size).cast("long")).alias("n_dropped")
+            )
         return (
             t.groupBy("table_idx", "key")
             .agg(F.count("*").alias("n"))
             .groupBy("table_idx")
-            .agg(
-                F.count("*").alias("n_buckets"),
-                F.avg("n").alias("avg_bucket"),
-                F.max("n").alias("max_bucket"),
-            )
+            .agg(*aggs)
         )
 
     def dedup_pairs(self, sig_df: DataFrame, max_distance: int | None = None, **kw) -> DataFrame:
         """(src, dst, dist) pairs with hamming distance strictly below
-        max_distance (Q8 strict '<')."""
+        max_distance (Q8 strict '<'). The distance filter runs map-side
+        inside pair generation — only true pairs reach a shuffle."""
         d = self.cfg.max_distance if max_distance is None else max_distance
         if kw.get("persist", True) and not (
             sig_df.storageLevel.useMemory or sig_df.storageLevel.useDisk
         ):
             sig_df = sig_df.persist()
-        pairs = self.candidate_pairs(sig_df, **kw)
-        sa = sig_df.select(F.col("id").alias("src"), F.col("sig").alias("sig_a"))
-        sb = sig_df.select(F.col("id").alias("dst"), F.col("sig").alias("sig_b"))
+        cand = self._sid_dist_pairs(sig_df, max_distance=d, **kw)
+        m = sig_df.select(F.xxhash64("id").alias("sid"), "id")
+        ma = m.select(F.col("sid").alias("src"), F.col("id").alias("src_id"))
+        mb = m.select(F.col("sid").alias("dst"), F.col("id").alias("dst_id"))
         return (
-            pairs.join(sa, "src")
-            .join(sb, "dst")
-            .withColumn("dist", hamming_distance_col("sig_a", "sig_b"))
-            .where(F.col("dist") < d)
-            .select("src", "dst", "dist")
+            cand.join(ma, "src")
+            .join(mb, "dst")
+            .select(
+                F.least("src_id", "dst_id").alias("src"),
+                F.greatest("src_id", "dst_id").alias("dst"),
+                "dist",
+            )
         )
 
     # ----------------------------------------------------------------- query

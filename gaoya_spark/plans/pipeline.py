@@ -98,6 +98,7 @@ class DedupPipeline:
         )
         edge_frames = [mh_edges]
 
+        sh = sh_sigs = None
         if c.use_simhash:
             sh = SimHashLSH(c.simhash)
             sh_sigs = self._stage(
@@ -141,7 +142,7 @@ class DedupPipeline:
             lambda: clusters_from_labels(labels, c.min_cluster_size),
             force,
         )
-        self._write_metrics(mh, mh_sigs)
+        self._write_metrics(mh, mh_sigs, sh, sh_sigs)
         return clusters
 
     def _stage(self, name: str, build, force: bool) -> DataFrame:
@@ -154,7 +155,9 @@ class DedupPipeline:
         return out
 
     # -------------------------------------------------------------- metrics
-    def _write_metrics(self, mh: MinHashLSH, mh_sigs: DataFrame) -> None:
+    def _write_metrics(self, mh: MinHashLSH, mh_sigs: DataFrame,
+                       sh: SimHashLSH | None = None,
+                       sh_sigs: DataFrame | None = None) -> None:
         """North rule: per-partition lineage, rows/sec, skew metrics tables."""
         man = self.wh.manifest()["stages"]
         rows = [
@@ -179,6 +182,11 @@ class DedupPipeline:
             ),
             "metrics_band_skew",
         )
+        if sh is not None and sh_sigs is not None:
+            self.wh.write(
+                sh.bucket_stats(sh_sigs, max_bucket_size=4096),
+                "metrics_simhash_skew",
+            )
 
         # per-partition lineage of the signatures table
         lineage = (
