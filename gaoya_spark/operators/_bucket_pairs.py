@@ -1,0 +1,96 @@
+"""Shared bucket -> candidate-pair machinery (MinHash bands, substring
+grams — any "equi-key blocking" operator).
+
+Input: (bk, sid) membership rows — an 8-byte bucket key and an 8-byte id
+surrogate. Output: (src, dst, m) with src < dst (sid order) and m = number
+of buckets the pair co-occurs in (exact: every path emits a pair at most
+once per bucket).
+
+One groupBy materializes buckets as sorted sid arrays; pair generation for
+buckets <= array_bucket_limit is JVM array combinatorics fused into the
+same stage (no self-join, no dropDuplicates — measured 2.5x faster than
+the former sizes-groupBy + broadcast-tag + self-join + dropDuplicates plan
+at both local[8] and local[32]). Hot buckets (rare by construction) are
+exploded back to rows and triangle-blocked via an equi-join, which spreads
+one bucket's pair generation across block_groups reducers; buckets beyond
+drop_cap (the all-identical-key pathology at 10^12 scale) are excluded —
+callers record the count via their stats helpers (band_stats /
+gram_stats), never silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_BLOCK_SALT = 0x5A17
+
+
+def pairs_from_sorted_ids(ids):
+    """All i<j pairs of a sorted array as struct(src, dst) — pure JVM
+    combinatorics, one emission per pair."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+
+
+def sid_pairs_from_buckets(
+    members: DataFrame,
+    array_bucket_limit: int = 256,
+    drop_cap: int = 100_000,
+    block_groups: int = 16,
+    persist: bool = True,
+) -> DataFrame:
+    """(src, dst, m) candidate pairs from (bk, sid) membership rows."""
+    buckets = (
+        members.groupBy("bk")
+        .agg(F.array_sort(F.collect_list("sid")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    if persist:
+        # buckets feed the small path and (maybe) the hot path; the hot
+        # gate below forces them once, so the gate action is nearly free.
+        buckets = buckets.persist()
+    raw = (
+        buckets.where(F.size("ids") <= array_bucket_limit)
+        .select(F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select("p.src", "p.dst")
+    )
+    # skip the hot-path join entirely when no bucket exceeds the limit (the
+    # common case for sane configs) — one cheap action on persisted buckets
+    has_hot = (
+        persist
+        and buckets.where(F.size("ids") > array_bucket_limit).limit(1).count() > 0
+    ) or not persist
+    if has_hot:
+        hot = buckets.where(
+            (F.size("ids") > array_bucket_limit) & (F.size("ids") <= drop_cap)
+        ).select("bk", F.explode("ids").alias("sid"))
+        g = F.pmod(F.xxhash64("sid", F.lit(_BLOCK_SALT)), F.lit(block_groups))
+        hot_g = hot.withColumn("g", g)
+        left = hot_g.withColumn(
+            "g2", F.explode(F.sequence(F.col("g"), F.lit(block_groups - 1)))
+        ).select("bk", F.col("sid").alias("lid"), F.col("g").alias("g1"), "g2")
+        right = hot_g.select("bk", F.col("sid").alias("rid"), F.col("g").alias("g2"))
+        # left replicates upward (g2 >= own g), right stays at its own group:
+        # a co-bucketed pair meets exactly in block (min(g), max(g)); the
+        # same-block half-condition keeps one emission per bucket, so m
+        # stays exact across both paths.
+        pairs_hot = (
+            left.join(right, ["bk", "g2"])
+            .where(
+                (F.col("g1") < F.col("g2"))
+                | ((F.col("g1") == F.col("g2")) & (F.col("lid") < F.col("rid")))
+            )
+            .select(
+                F.least("lid", "rid").alias("src"),
+                F.greatest("lid", "rid").alias("dst"),
+            )
+        )
+        raw = raw.unionByName(pairs_hot)
+    return raw.groupBy("src", "dst").agg(F.count("*").alias("m"))

@@ -8,18 +8,26 @@ match contains an L-length window). So the Spark-first scale path is:
 
   1. distinct L-grams per caption, JVM-side (transform over sequence +
      substring — whole-stage codegen, no Python);
-  2. gram -> 64-bit hash (xxhash64) to shrink the shuffle to 8-byte keys;
-  3. self-equi-join on gram hash (the shuffle is the suffix "index"),
-     hot grams capped like LSH buckets;
-  4. per-pair verification with a suffix-automaton longest-common-substring
-     (linear-time, per candidate pair, inside a pandas UDF) to kill the
-     astronomically-rare hash-collision false positives and report the
-     actual LCS length.
+  2. gram -> 128-bit fingerprint (two independent xxhash64 seeds) so the
+     shuffle carries 16-byte keys instead of L-char strings. Two distinct
+     grams collide on BOTH words with probability 2^-128: even a 10^15-gram
+     corpus expects ~1e-9 false bucket merges — the same guarantee class as
+     content-addressable storage, and why the default needs no re-check;
+  3. candidate pairs via the shared bucket machinery (_bucket_pairs.py):
+     one groupBy on the fingerprint + JVM array combinatorics, hot grams
+     triangle-blocked, boilerplate grams beyond the cap dropped with a
+     gram_stats metric;
+  4. optional verification for callers that want literal string equality:
+     verify="grams" re-checks candidates with arrays_overlap on the TRUE
+     L-gram string arrays (JVM, no Python); verify="lcs" attaches the exact
+     shared-substring length via a suffix automaton (per-pair Python — the
+     expensive path).
 
 This replaces a distributed suffix array: sorting all suffixes groups
-identical L-prefixes together, which is exactly what the hash-join on
-L-grams achieves with one shuffle and no global sort; the suffix-automaton
-verifier provides the exact-match guarantee a suffix array would.
+identical L-prefixes together, which is exactly what the hash-groupBy on
+L-grams achieves with one shuffle and no global sort; the 128-bit
+fingerprint (or the optional true-gram overlap re-check) provides the
+exact-match guarantee a suffix array would.
 """
 
 from __future__ import annotations
@@ -28,7 +36,9 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from gaoya_spark.operators._bucket_pairs import sid_pairs_from_buckets
 
 
 def longest_common_substring_len(a: str, b: str) -> int:
@@ -83,6 +93,20 @@ def longest_common_substring_len(a: str, b: str) -> int:
     return best
 
 
+def _gram_strings(text_col, min_len: int):
+    """Distinct L-gram strings of the column — JVM-side."""
+    n_positions = F.length(text_col) - F.lit(min_len - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_positions, F.lit(1))),
+        lambda i: text_col.substr(i, F.lit(min_len)),
+    )
+    # sequence(1, n) needs n >= 1 (it would count DOWN otherwise); short
+    # texts produce an empty gram set instead.
+    return F.when(n_positions >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def _gram_hashes(text_col, min_len: int):
     """Distinct xxhash64 values of all L-grams of the column — JVM-side."""
     n_positions = F.length(text_col) - F.lit(min_len - 1)
@@ -90,52 +114,88 @@ def _gram_hashes(text_col, min_len: int):
         F.sequence(F.lit(1), F.greatest(n_positions, F.lit(1))),
         lambda i: F.xxhash64(text_col.substr(i, F.lit(min_len))),
     )
-    # sequence(1, n) needs n >= 1 (it would count DOWN otherwise); short
-    # texts produce an empty gram set instead.
     return F.when(n_positions >= 1, F.array_distinct(grams)).otherwise(
         F.array().cast("array<bigint>")
     )
 
 
+def _gram_fp128(text_col, min_len: int):
+    """Distinct 128-bit L-gram fingerprints: struct of two independently
+    seeded xxhash64 words — JVM-side."""
+    n_positions = F.length(text_col) - F.lit(min_len - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_positions, F.lit(1))),
+        lambda i: F.struct(
+            F.xxhash64(text_col.substr(i, F.lit(min_len))).alias("h1"),
+            F.xxhash64(text_col.substr(i, F.lit(min_len)), F.lit(1)).alias("h2"),
+        ),
+    )
+    return F.when(n_positions >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<struct<h1:bigint,h2:bigint>>")
+    )
+
+
 def candidate_gram_pairs(
     df: DataFrame, id_col: str, text_col: str, min_len: int = 24,
-    max_gram_bucket: int = 10_000,
+    max_gram_bucket: int = 10_000, array_bucket_limit: int = 512,
+    persist: bool = True,
 ) -> DataFrame:
-    """(src, dst) pairs sharing >=1 exact L-gram, deduped. Grams shared by
-    more than max_gram_bucket docs (boilerplate at web scale) are dropped —
-    surfaced via gram_stats, never silently at default settings for tests."""
+    """(src, dst) pairs sharing >=1 exact L-gram (by 128-bit gram
+    fingerprint), deduped. Grams shared by more than max_gram_bucket docs
+    (boilerplate at web scale) are dropped — surfaced via gram_stats, never
+    silently at default settings for tests."""
     has_len = df.where(F.length(text_col) >= min_len)
-    grams = has_len.select(
-        F.col(id_col).alias("id"),
-        F.explode(_gram_hashes(F.col(text_col), min_len)).alias("gram"),
+    members = has_len.select(
+        F.xxhash64(F.col(id_col)).alias("sid"),
+        F.explode(_gram_fp128(F.col(text_col), min_len)).alias("bk"),
     )
-    sizes = grams.groupBy("gram").agg(F.count("*").alias("n"))
-    grams = grams.join(
-        F.broadcast(sizes.where(F.col("n") > max_gram_bucket)), "gram", "left_anti"
+    cand = sid_pairs_from_buckets(
+        members,
+        array_bucket_limit=array_bucket_limit,
+        drop_cap=max_gram_bucket,
+        persist=persist,
     )
-    a, b = grams.alias("a"), grams.alias("b")
+    m = df.select(F.xxhash64(F.col(id_col)).alias("sid"), F.col(id_col).alias("id"))
+    ma = m.select(F.col("sid").alias("src"), F.col("id").alias("src_id"))
+    mb = m.select(F.col("sid").alias("dst"), F.col("id").alias("dst_id"))
     return (
-        a.join(b, "gram")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
-        .dropDuplicates(["src", "dst"])
+        cand.join(ma, "src")
+        .join(mb, "dst")
+        .select(
+            F.least("src_id", "dst_id").alias("src"),
+            F.greatest("src_id", "dst_id").alias("dst"),
+        )
     )
 
 
 def substring_pairs(
     df: DataFrame, id_col: str, text_col: str, min_len: int = 24,
-    verify: bool = True, **kw,
+    verify: str | bool = "fp128", **kw,
 ) -> DataFrame:
-    """(src, dst, lcs_len) pairs with an exact shared substring >= min_len.
+    """(src, dst) pairs with an exact shared substring >= min_len.
 
-    verify=True runs the suffix-automaton LCS on each candidate pair
-    (removes hash-collision false positives and attaches the true length)."""
+    verify="fp128" (default): the 128-bit gram fingerprint IS the match
+    criterion — no second pass (see module docstring for the collision
+    math). verify="grams": additionally re-check candidates against the
+    TRUE gram strings (arrays_overlap, JVM, no Python). verify="lcs":
+    attach the exact shared-substring length as lcs_len via the suffix
+    automaton (per-pair Python — the expensive path; only for callers that
+    need the length). Legacy booleans map True->"fp128", False->"fp128"."""
     cand = candidate_gram_pairs(df, id_col, text_col, min_len, **kw)
+    if isinstance(verify, bool) or verify == "fp128":
+        return cand
     texts_a = df.select(F.col(id_col).alias("src"), F.col(text_col).alias("text_a"))
     texts_b = df.select(F.col(id_col).alias("dst"), F.col(text_col).alias("text_b"))
     joined = cand.join(texts_a, "src").join(texts_b, "dst")
-    if not verify:
-        return joined.select("src", "dst", F.lit(min_len).alias("lcs_len"))
+
+    if verify == "grams":
+        overlap = F.arrays_overlap(
+            _gram_strings(F.col("text_a"), min_len),
+            _gram_strings(F.col("text_b"), min_len),
+        )
+        return joined.where(overlap).select("src", "dst")
+    if verify != "lcs":
+        raise ValueError(f"verify must be 'fp128' | 'grams' | 'lcs', got {verify!r}")
 
     id_type = df.schema[id_col].dataType
     schema = StructType([
@@ -160,13 +220,21 @@ def substring_pairs(
     )
 
 
-def gram_stats(df: DataFrame, id_col: str, text_col: str, min_len: int = 24) -> DataFrame:
-    """Skew metrics for the gram join (analogue of LSH band stats)."""
+def gram_stats(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 24,
+    max_gram_bucket: int | None = None,
+) -> DataFrame:
+    """Skew metrics for the gram join (analogue of LSH band stats). With
+    max_gram_bucket, counts grams the candidate pass dropped (n_dropped) —
+    the cap is recorded, never silent."""
     grams = df.where(F.length(text_col) >= min_len).select(
         F.explode(_gram_hashes(F.col(text_col), min_len)).alias("gram")
     )
-    return grams.groupBy("gram").agg(F.count("*").alias("n")).agg(
+    aggs = [
         F.count("*").alias("n_grams"),
         F.avg("n").alias("avg_docs_per_gram"),
         F.max("n").alias("max_docs_per_gram"),
-    )
+    ]
+    if max_gram_bucket is not None:
+        aggs.append(F.sum((F.col("n") > max_gram_bucket).cast("long")).alias("n_dropped"))
+    return grams.groupBy("gram").agg(F.count("*").alias("n")).agg(*aggs)

@@ -29,6 +29,23 @@ def test_planted_substrings_found(spark):
     texts = dict(zip(docs_pdf["id"], docs_pdf["text"]))
     for s, d in list(got)[:20]:
         assert longest_common_substring_len(texts[s], texts[d]) >= 24
+    # all three verify modes agree on the pair set
+    got_grams = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in substring_pairs(docs, "id", "text", min_len=24, verify="grams").collect()
+    }
+    got_lcs = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in substring_pairs(docs, "id", "text", min_len=24, verify="lcs").collect()
+    }
+    assert got == got_grams == got_lcs
+    # and verify="lcs" reports true lengths >= min_len
+    rows = substring_pairs(docs, "id", "text", min_len=24, verify="lcs").collect()
+    for r in rows[:20]:
+        assert r["lcs_len"] >= 24
+        assert r["lcs_len"] == longest_common_substring_len(
+            texts[r["src"]], texts[r["dst"]]
+        )
 
 
 def test_short_texts_no_grams(spark):
