@@ -233,6 +233,20 @@ def _q_minhash_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "pos", F.col("val").cast("long").alias("val"))
 
 
+def _q_minhash_band_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P19 per-band mode: most frequent full band slice per (group, band),
+    concatenated (mod.rs:188-214 via calculate_centroid)."""
+    lsh = MinHashLSH(ORACLE_MINHASH)
+    docs = _docs(spark, sf_dir)
+    sigs = lsh.signatures(docs, "doc_id", "text").join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    cent = lsh.minhash_band_centroid(sigs, "source")
+    return cent.select(
+        "source", F.posexplode("centroid").alias("pos", "val")
+    ).select("source", "pos", F.col("val").cast("long").alias("val"))
+
+
 def _q_components_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: connected components over exact n-gram-jaccard edges (>= 0.8)."""
     from gaoya_spark.operators.text import ngram_jaccard_pairs
@@ -282,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_query": _q_minhash_query,
         "minhash_top_k": _q_minhash_top_k,
         "minhash_centroid": _q_minhash_centroid,
+        "minhash_band_centroid": _q_minhash_band_centroid,
         "simhash_signature": _q_simhash_signature,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -428,6 +443,33 @@ def _sql_centroid() -> str:
     )
 
 
+def _sql_band_centroid() -> str:
+    b, r = ORACLE_MINHASH.num_bands, ORACLE_MINHASH.band_width
+    bands = " UNION ALL ".join(
+        f"SELECT source, {bi} AS band_idx, "
+        + ", ".join(f"s{bi * r + j} AS v{j}" for j in range(r))
+        + " FROM sigsrc"
+        for bi in range(b)
+    )
+    vcols = ", ".join(f"v{j}" for j in range(r))
+    vasc = ", ".join(f"v{j} ASC" for j in range(r))
+    expl = " UNION ALL ".join(
+        f"SELECT source, band_idx * {r} + {j} AS pos, v{j} AS val FROM w"
+        for j in range(r)
+    )
+    return (
+        f"WITH {_sql_tokens_cte()}, {_sql_sig_cte()}, "
+        "sigsrc AS (SELECT s.*, d.source FROM sig s JOIN documents d USING (doc_id)), "
+        f"bandsrc AS ({bands}), "
+        f"counts AS (SELECT source, band_idx, {vcols}, count(*) AS c "
+        "FROM bandsrc GROUP BY ALL), "
+        f"r AS (SELECT source, band_idx, {vcols}, row_number() OVER "
+        f"(PARTITION BY source, band_idx ORDER BY c DESC, {vasc}) AS rn FROM counts), "
+        "w AS (SELECT * FROM r WHERE rn = 1) "
+        f"SELECT source, pos, CAST(val AS BIGINT) AS val FROM ({expl})"
+    )
+
+
 def _sql_components() -> str:
     return (
         f"WITH RECURSIVE {_sql_ngram_ctes(0.8)}, "
@@ -527,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_query": _sql_query_probes(),
         "minhash_top_k": _sql_top_k(),
         "minhash_centroid": _sql_centroid(),
+        "minhash_band_centroid": _sql_band_centroid(),
         "components_ngram": _sql_components(),
         "embedding_cosine_topk": _sql_embedding_topk(),
         "token_count": (

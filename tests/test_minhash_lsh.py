@@ -134,6 +134,35 @@ def test_minhash_centroid_recovers_group_signature(spark, vectors):
     assert agree / len(base) > 0.9
 
 
+def test_minhash_band_centroid_known_vectors(spark):
+    """P19 (mod.rs:188-214): per-band most frequent SLICE, concatenated.
+    b=2, r=2: band0 slices [1,2],[1,2],[9,9] -> [1,2]; band1 slices
+    [3,4],[30,40],[30,40] -> [30,40]; centroid = [1,2,30,40]."""
+    cfg = MinHashConfig(num_bands=2, band_width=2, threshold=0.5, tokenizer=WORD)
+    lsh = MinHashLSH(cfg)
+    rows = [
+        ("g", [1, 2, 3, 4]),
+        ("g", [1, 2, 30, 40]),
+        ("g", [9, 9, 30, 40]),
+    ]
+    sigs = spark.createDataFrame(rows, "grp string, sig array<int>")
+    c = lsh.minhash_band_centroid(sigs, "grp").collect()[0]["centroid"]
+    assert list(c) == [1, 2, 30, 40]
+
+
+def test_minhash_band_centroid_beats_pointwise_recall(spark, vectors):
+    """The property calculate_centroid optimizes (minhash_index.rs:746-753):
+    the band centroid co-buckets with every group member in at least one
+    band (its slices are, per band, the group's most popular bucket)."""
+    lsh, sigs = vectors
+    grouped = sigs.withColumn("grp", (F.col("id") / 100).cast("int")).where("grp = 2")
+    cent = lsh.minhash_band_centroid(grouped, "grp").select(
+        F.lit(-1).cast("long").alias("id"), F.col("centroid").alias("sig")
+    )
+    hits = lsh.query(grouped.select("id", "sig"), cent, threshold=0.0).count()
+    assert hits >= grouped.count() * 0.9
+
+
 def test_band_stats_shape(spark, corpus5):
     lsh, sigs = corpus5
     stats = lsh.band_stats(lsh.bands(sigs)).collect()
