@@ -162,6 +162,37 @@ def _q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.dedup_pairs(sigs).select("src", "dst", F.col("dist").cast("long").alias("dist"))
 
 
+ORACLE_SIMHASH128 = SimHashConfig(
+    nbits=128,
+    num_blocks=12,
+    max_distance=9,
+    tokenizer=_SPACE_TOKENIZER,
+    token_hasher="md5_60",
+)
+
+
+def _q_simhash128_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit SimHash (reference benchmark config family, lsh_bench.rs:
+    73-110) as two BIGINT words; md5-window token hashing keeps both words
+    SQL-expressible."""
+    lsh = SimHashLSH(ORACLE_SIMHASH128)
+    return lsh.signatures(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        F.col("sig")[0].alias("w0"),
+        F.col("sig")[1].alias("w1"),
+    )
+
+
+def _q_simhash128_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit Hamming-ball LSH pairs, dist strictly < 9; pigeonhole-complete
+    masks make the banded result equal the oracle's all-pairs scan."""
+    lsh = SimHashLSH(ORACLE_SIMHASH128)
+    sigs = lsh.signatures(_docs(spark, sf_dir), "doc_id", "text")
+    return lsh.dedup_pairs(sigs).select(
+        "src", "dst", F.col("dist").cast("long").alias("dist")
+    )
+
+
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gaoya_spark.operators.text import ngram_jaccard_pairs
 
@@ -299,6 +330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_centroid": _q_minhash_band_centroid,
         "simhash_signature": _q_simhash_signature,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
+        "simhash128_signature": _q_simhash128_signature,
+        "simhash128_hamming_pairs": _q_simhash128_hamming_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -380,6 +413,43 @@ def _sql_simhash_sig() -> str:
         "FROM h_all, range(0, 32) AS b(b) GROUP BY doc_id, b.b), "
         "simsig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) "
         "ELSE 0 END) AS BIGINT) AS simhash FROM votes GROUP BY doc_id)"
+    )
+
+
+def _sql_simhash128_sig() -> str:
+    h0 = _MD5_60.format(x="tok")
+    h1 = "(('0x' || substr(md5(tok), 16, 15))::BIGINT)"
+    two63 = "(1::HUGEINT << 63)"
+    two64 = "(1::HUGEINT << 64)"
+    tc = (
+        "CAST(CASE WHEN {r} >= " + two63 + " THEN {r} - " + two64 +
+        " ELSE {r} END AS BIGINT)"
+    )
+    return (
+        f"{_sql_toks_all()}, "
+        f"h128 AS (SELECT doc_id, {h0} AS h0, {h1} AS h1 FROM toks_all), "
+        "v128 AS (SELECT doc_id, b.b AS bit, "
+        "sum(CASE WHEN (h0 >> b.b) & 1 = 0 THEN 1 ELSE -1 END) AS v0, "
+        "sum(CASE WHEN (h1 >> b.b) & 1 = 0 THEN 1 ELSE -1 END) AS v1 "
+        "FROM h128, range(0, 64) AS b(b) GROUP BY doc_id, b.b), "
+        "r128 AS (SELECT doc_id, "
+        "sum(CASE WHEN v0 > 0 THEN (1::HUGEINT << bit) ELSE 0 END) AS r0, "
+        "sum(CASE WHEN v1 > 0 THEN (1::HUGEINT << bit) ELSE 0 END) AS r1 "
+        "FROM v128 GROUP BY doc_id), "
+        "sig128 AS (SELECT d.doc_id, "
+        f"coalesce({tc.format(r='r0')}, 0) AS w0, "
+        f"coalesce({tc.format(r='r1')}, 0) AS w1 "
+        "FROM documents d LEFT JOIN r128 USING (doc_id))"
+    )
+
+
+def _sql_simhash128_pairs(max_distance: int = 9) -> str:
+    dist = "bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))"
+    return (
+        f"WITH {_sql_simhash128_sig()} "
+        f"SELECT a.doc_id AS src, b.doc_id AS dst, CAST({dist} AS BIGINT) AS dist "
+        "FROM sig128 a JOIN sig128 b ON a.doc_id < b.doc_id "
+        f"WHERE {dist} < {max_distance}"
     )
 
 
@@ -584,9 +654,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS keep_id FROM documents GROUP BY text"
         ),
         "minhash_signature": (
+            # LEFT JOIN + coalesce mirrors the engine's empty-doc rule (P9:
+            # zero signature, min_hasher.rs empty-stream case) — FROM sig
+            # alone would silently drop docs with no tokens
             f"WITH {_sql_tokens_cte()}, {_sql_sig_cte()} "
-            "SELECT doc_id, CAST(s0 AS BIGINT) AS mh0, CAST(s1 AS BIGINT) AS mh1, "
-            "CAST(s2 AS BIGINT) AS mh2, CAST(s3 AS BIGINT) AS mh3 FROM sig"
+            "SELECT d.doc_id, CAST(coalesce(s.s0, 0) AS BIGINT) AS mh0, "
+            "CAST(coalesce(s.s1, 0) AS BIGINT) AS mh1, "
+            "CAST(coalesce(s.s2, 0) AS BIGINT) AS mh2, "
+            "CAST(coalesce(s.s3, 0) AS BIGINT) AS mh3 "
+            "FROM documents d LEFT JOIN sig s USING (doc_id)"
         ),
         "minhash_band_pairs": _sql_minhash_pairs(),
+        "simhash128_signature": (
+            f"WITH {_sql_simhash128_sig()} SELECT doc_id, w0, w1 FROM sig128"
+        ),
+        "simhash128_hamming_pairs": _sql_simhash128_pairs(),
     }

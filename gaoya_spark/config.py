@@ -24,8 +24,10 @@ MERSENNE_PRIME_61 = (1 << 61) - 1
 # hashers.rs:17-38); "md5_60" is a slow, cross-engine-deterministic hash
 # (both Spark's conv(substr(md5(x),1,15),16,10) and DuckDB's
 # ('0x'||substr(md5(x),1,15))::bigint produce the identical value) used by
-# the DuckDB-oracle parity queries.
-TOKEN_HASHERS = ("fnv1a", "md5_60")
+# the DuckDB-oracle parity queries; "siphash24" is SipHash-2-4 with the
+# reference's (5, 6) keys and Rust Hash-for-str framing (SimSipHasher64,
+# py-gaoya/src/sim_hash.rs:171) for config-level compatibility.
+TOKEN_HASHERS = ("fnv1a", "md5_60", "siphash24")
 
 # signature formulas:
 # - "gaoya": sig_i = min over tokens of ((h *u32 a_i) +u32 b_i) % (2^31-1)
@@ -105,7 +107,7 @@ class MinHashConfig:
 
 @dataclass(frozen=True)
 class SimHashConfig:
-    nbits: int = 64  # 32 | 64
+    nbits: int = 64  # 32 | 64 | 128 (128 = two-long-word signature)
     num_blocks: int = 6
     max_distance: int = 5  # strict '<' filter, mirroring Q8 semantics
     tokenizer: TokenizerSpec = field(
@@ -117,8 +119,8 @@ class SimHashConfig:
     phash_vote_weight: int = 0
 
     def __post_init__(self):
-        if self.nbits not in (32, 64):
-            raise ValueError("nbits must be 32|64")
+        if self.nbits not in (32, 64, 128):
+            raise ValueError("nbits must be 32|64|128")
         if not (0 < self.num_blocks <= self.nbits):
             raise ValueError("bad num_blocks")
         if not (0 <= self.max_distance < self.num_blocks):

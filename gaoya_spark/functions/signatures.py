@@ -146,28 +146,37 @@ def make_minhash_tokens_udf(cfg: MinHashConfig):
 
 
 def make_simhash_udf(cfg: SimHashConfig, with_phash: bool = False):
-    """pandas_udf (text[, phash]) -> long simhash signature (two's complement)."""
+    """pandas_udf (text[, phash]) -> simhash signature: long (nbits<=64,
+    two's complement) or array<long>[2] words (nbits=128)."""
+    wide = cfg.nbits == 128
 
     def compute(texts: pd.Series, phash: pd.Series | None) -> pd.Series:
         tok_lists = [tokenize(t, cfg.tokenizer) for t in texts]
         counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
         flat = [t for toks in tok_lists for t in toks]
-        hashes = hashing.hash_tokens(flat, cfg.token_hasher)
         ph = None
         if phash is not None and cfg.phash_vote_weight > 0:
             ph = phash.fillna(0).to_numpy(dtype=np.int64)
+        if wide:
+            lo_h, hi_h = hashing.hash_tokens_128(flat, cfg.token_hasher)
+            lo, hi = hashing.simhash_signatures128(
+                lo_h, hi_h, counts, ph, cfg.phash_vote_weight
+            )
+            return pd.Series([[int(a), int(b)] for a, b in zip(lo, hi)])
+        hashes = hashing.hash_tokens(flat, cfg.token_hasher)
         sig = hashing.simhash_signatures(
             hashes, counts, cfg.nbits, ph, cfg.phash_vote_weight
         )
         return pd.Series(sig)
 
+    ret = ArrayType(LongType(), containsNull=False) if wide else LongType()
     if with_phash:
-        @F.pandas_udf(LongType())
+        @F.pandas_udf(ret)
         def simhash_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
             for texts, ph in it:
                 yield compute(texts, ph)
     else:
-        @F.pandas_udf(LongType())
+        @F.pandas_udf(ret)
         def simhash_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
             for texts in it:
                 yield compute(texts, None)

@@ -170,6 +170,75 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
+def _rotl64(x: np.ndarray, b: int) -> np.ndarray:
+    return (x << np.uint64(b)) | (x >> np.uint64(64 - b))
+
+
+def _sipround(v0, v1, v2, v3):
+    with np.errstate(over="ignore"):
+        v0 = v0 + v1
+        v1 = _rotl64(v1, 13) ^ v0
+        v0 = _rotl64(v0, 32)
+        v2 = v2 + v3
+        v3 = _rotl64(v3, 16) ^ v2
+        v0 = v0 + v3
+        v3 = _rotl64(v3, 21) ^ v0
+        v2 = v2 + v1
+        v1 = _rotl64(v1, 17) ^ v2
+        v2 = _rotl64(v2, 32)
+    return v0, v1, v2, v3
+
+
+def siphash24_batch(msgs: list[bytes], k0: int, k1: int) -> np.ndarray:
+    """SipHash-2-4 (64-bit) of each message, vectorized across the batch.
+
+    Classic SipHash per the Aumasson/Bernstein spec: little-endian 8-byte
+    words, zero-padded final block whose top byte is len % 256; 2
+    compression rounds per word, 4 finalization rounds. Messages are
+    processed word-index-major with an activity mask, so the per-word loop
+    runs max(len)//8+1 times regardless of batch size. Matches the
+    `siphasher` crate the reference uses (sim_hasher.rs:1,36-38)."""
+    n = len(msgs)
+    lens = np.fromiter((len(m) for m in msgs), dtype=np.int64, count=n)
+    n_words = lens // 8 + 1
+    max_words = int(n_words.max()) if n else 0
+    # pack padded little-endian words: (n, max_words) uint64
+    buf = np.zeros((n, max_words * 8), dtype=np.uint8)
+    for i, m in enumerate(msgs):
+        buf[i, : len(m)] = np.frombuffer(m, dtype=np.uint8)
+        buf[i, n_words[i] * 8 - 1] = len(m) & 0xFF
+    words = buf.view("<u8").reshape(n, max_words).astype(np.uint64)
+
+    k0_ = np.uint64(k0)
+    k1_ = np.uint64(k1)
+    v0 = np.full(n, 0x736F6D6570736575, dtype=np.uint64) ^ k0_
+    v1 = np.full(n, 0x646F72616E646F6D, dtype=np.uint64) ^ k1_
+    v2 = np.full(n, 0x6C7967656E657261, dtype=np.uint64) ^ k0_
+    v3 = np.full(n, 0x7465646279746573, dtype=np.uint64) ^ k1_
+    for w in range(max_words):
+        active = w < n_words
+        m = np.where(active, words[:, w], np.uint64(0))
+        t0, t1, t2, t3 = _sipround(v0, v1, v2, v3 ^ m)
+        t0, t1, t2, t3 = _sipround(t0, t1, t2, t3)
+        t0 = t0 ^ m
+        v0 = np.where(active, t0, v0)
+        v1 = np.where(active, t1, v1)
+        v2 = np.where(active, t2, v2)
+        v3 = np.where(active, t3, v3)
+    v2 = v2 ^ np.uint64(0xFF)
+    for _ in range(4):
+        v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+    return v0 ^ v1 ^ v2 ^ v3
+
+
+def siphash24_many(tokens: list[str], k0: int = 5, k1: int = 6) -> np.ndarray:
+    """SipHash-2-4 of string tokens with the reference's framing: Rust's
+    `Hash for str` feeds the UTF-8 bytes plus a 0xff terminator
+    (SimSipHasher64::new(5, 6), py-gaoya/src/sim_hash.rs:171 and
+    sim_hash_index.rs:259)."""
+    return siphash24_batch([t.encode("utf-8") + b"\xff" for t in tokens], k0, k1)
+
+
 def md5_60(token: str) -> int:
     """Cross-engine deterministic 60-bit hash: first 15 hex chars of md5.
 
@@ -192,7 +261,32 @@ def hash_tokens(tokens: list, hasher: str) -> np.ndarray:
         return fnv1a_u64([t.encode("utf-8") for t in tokens])
     if hasher == "md5_60":
         return md5_60_many(tokens)
+    if hasher == "siphash24":
+        return siphash24_many(tokens)
     raise ValueError(f"unknown token hasher {hasher}")
+
+
+def md5_60_hi(token: str) -> int:
+    """Second independent 60-bit word from the same md5 digest (hex chars
+    16-30) — cross-engine: DuckDB ('0x'||substr(md5(x),16,15))::bigint,
+    Spark conv(substr(md5(x),16,15),16,10)."""
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[15:30], 16)
+
+
+def hash_tokens_128(tokens: list, hasher: str) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit token hash as two uint64 words (lo = bits 0-63 of the
+    conceptual 128-bit value). The reference's 128-bit simhash uses
+    SipHasher128 (gaoya/src/simhash/sim_hasher.rs:60-90); behavioral
+    parity: fnv1a extends with an independent splitmix64 mix, md5_60 takes
+    two disjoint 60-bit md5 digest windows (SQL-expressible for oracles)."""
+    lo = hash_tokens(tokens, hasher)
+    if hasher == "md5_60":
+        hi = np.fromiter(
+            (md5_60_hi(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+        )
+    else:
+        hi = splitmix64(lo.view(np.int64))
+    return lo, hi
 
 
 def minhash_permutations(
@@ -409,6 +503,22 @@ def simhash_signatures(
         axis=1, dtype=np.uint64
     )
     return sig.view(np.int64) if nbits == 64 else sig.astype(np.int64)
+
+
+def simhash_signatures128(
+    token_hashes_lo: np.ndarray,
+    token_hashes_hi: np.ndarray,
+    doc_token_counts: np.ndarray,
+    phash: np.ndarray | None = None,
+    phash_weight: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit SimHash as two independent 64-bit word votes (the reference's
+    SimHash<SimSipHasher128, u128, 128>, gaoya/benches/lsh_bench.rs:73-110).
+    Word 0 carries bits 0-63 (and the 64-bit phash vote, when enabled);
+    word 1 carries bits 64-127."""
+    lo = simhash_signatures(token_hashes_lo, doc_token_counts, 64, phash, phash_weight)
+    hi = simhash_signatures(token_hashes_hi, doc_token_counts, 64)
+    return lo, hi
 
 
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:

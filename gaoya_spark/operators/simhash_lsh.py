@@ -83,11 +83,39 @@ class SimHashLSH:
         return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
     # ---------------------------------------------------------------- tables
+    @property
+    def _wide(self) -> bool:
+        return self.cfg.nbits == 128
+
+    def _mask_words(self) -> list[tuple[int, int]]:
+        """Each mask as (lo, hi) signed 64-bit words (hi = 0 for <=64)."""
+        return [
+            (_to_i64(m & ((1 << 64) - 1)), _to_i64(m >> 64)) for m in self.masks
+        ]
+
+    def _dist(self, a, b):
+        """Hamming distance between two signatures (long, or 2-word array)."""
+        if self._wide:
+            return hamming_distance_col(a[0], b[0]) + hamming_distance_col(a[1], b[1])
+        return hamming_distance_col(a, b)
+
     def tables(self, sig_df: DataFrame, id_col: str = "id") -> DataFrame:
         """(id, table_idx, key): key = sig & mask per enumerated mask —
-        the Hamming-ball bucketing, fully JVM-side."""
-        mask_arr = F.array(*[F.lit(_to_i64(m)) for m in self.masks])
-        keys = F.transform(mask_arr, lambda m: F.col("sig").bitwiseAND(m))
+        the Hamming-ball bucketing, fully JVM-side. For 128-bit signatures
+        the key is xxhash64 of both masked words (an 8-byte key either way;
+        cross-key collisions only add candidates, removed by the exact
+        distance filter)."""
+        if self._wide:
+            keys = F.array(*[
+                F.xxhash64(
+                    F.col("sig")[0].bitwiseAND(F.lit(lo)),
+                    F.col("sig")[1].bitwiseAND(F.lit(hi)),
+                )
+                for lo, hi in self._mask_words()
+            ])
+        else:
+            mask_arr = F.array(*[F.lit(_to_i64(m)) for m in self.masks])
+            keys = F.transform(mask_arr, lambda m: F.col("sig").bitwiseAND(m))
         return sig_df.select(
             F.col(id_col).alias("id"),
             F.col("sig"),
@@ -102,10 +130,20 @@ class SimHashLSH:
         (table_idx, key), exactly like the MinHash band key; a cross-table
         collision only adds a candidate, and candidates are distance-checked
         exactly)."""
-        keys = F.array(*[
-            F.xxhash64(F.col("sig").bitwiseAND(F.lit(_to_i64(m))), F.lit(i))
-            for i, m in enumerate(self.masks)
-        ])
+        if self._wide:
+            keys = F.array(*[
+                F.xxhash64(
+                    F.col("sig")[0].bitwiseAND(F.lit(lo)),
+                    F.col("sig")[1].bitwiseAND(F.lit(hi)),
+                    F.lit(i),
+                )
+                for i, (lo, hi) in enumerate(self._mask_words())
+            ])
+        else:
+            keys = F.array(*[
+                F.xxhash64(F.col("sig").bitwiseAND(F.lit(_to_i64(m))), F.lit(i))
+                for i, m in enumerate(self.masks)
+            ])
         return sig_df.select(
             F.xxhash64("id").alias("sid"), "sig", F.explode(keys).alias("tk")
         )
@@ -156,7 +194,7 @@ class SimHashLSH:
             .select(F.explode(pair_structs).alias("p"))
             .select(
                 "p.src", "p.dst",
-                hamming_distance_col(F.col("p.sig_a"), F.col("p.sig_b")).alias("dist"),
+                self._dist(F.col("p.sig_a"), F.col("p.sig_b")).alias("dist"),
             )
         )
         has_big = (
@@ -190,7 +228,7 @@ class SimHashLSH:
                 .select(
                     F.least("lid", "rid").alias("src"),
                     F.greatest("lid", "rid").alias("dst"),
-                    hamming_distance_col(F.col("lsig"), F.col("rsig")).alias("dist"),
+                    self._dist(F.col("lsig"), F.col("rsig")).alias("dist"),
                 )
             )
             raw = raw.unionByName(pairs_mid)
@@ -287,7 +325,7 @@ class SimHashLSH:
         out = (
             cand.join(qs, "qid")
             .join(ix, "id")
-            .withColumn("dist", hamming_distance_col("sig_q", "sig_i"))
+            .withColumn("dist", self._dist(F.col("sig_q"), F.col("sig_i")))
             .where(F.col("dist") < d)
         )
         cols = ["qid", "id", "dist"] if keep_distance else ["qid", "id"]
@@ -308,18 +346,30 @@ class SimHashLSH:
         (sim_hash.rs:57-78) as a JVM-side expression: sum each bit, set it
         when ones strictly outnumber half the members."""
         nbits = self.cfg.nbits
+        word_of = (lambda i: F.col("sig")[i // 64]) if self._wide else (
+            lambda i: F.col("sig")
+        )
         bit_cols = [
-            F.sum(F.shiftright("sig", i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+            F.sum(F.shiftright(word_of(i), i % 64).bitwiseAND(F.lit(1))).alias(f"b{i}")
             for i in range(nbits)
         ]
         agg = sig_df.groupBy(F.col(group_col).alias("grp")).agg(
             F.count("*").alias("n"), *bit_cols
         )
-        centroid = None
-        for i in range(nbits):
-            bit = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1)).otherwise(F.lit(0))
-            # bit 63 contributes -(2^63) in two's complement
-            weight = F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i)
-            term = bit.cast("long") * weight
-            centroid = term if centroid is None else centroid + term
-        return agg.select(F.col("grp").alias(group_col), centroid.alias("centroid"))
+
+        def word_expr(lo_bit: int, width: int):
+            centroid = None
+            for j in range(width):
+                i = lo_bit + j
+                bit = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1)).otherwise(F.lit(0))
+                # bit 63 of a word contributes -(2^63) in two's complement
+                weight = F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j)
+                term = bit.cast("long") * weight
+                centroid = term if centroid is None else centroid + term
+            return centroid
+
+        if self._wide:
+            out = F.array(word_expr(0, 64), word_expr(64, 64))
+        else:
+            out = word_expr(0, nbits)
+        return agg.select(F.col("grp").alias(group_col), out.alias("centroid"))

@@ -179,3 +179,50 @@ def test_superminhash_estimator_and_sentinel():
     assert (sig(S1) == sig(S1)).all()
     e = hashing.superminhash_signatures(np.empty(0, dtype=np.uint64), np.array([0]), 8)
     assert (e == 99999999).all()
+
+
+def test_siphash24_official_vectors():
+    """SipHash-2-4 known-answer test: the Aumasson/Bernstein reference
+    vectors (vectors_sip64 from the reference C implementation), key =
+    00..0f, message = first N bytes of 00 01 02 ... The published vectors
+    are little-endian byte arrays; compare in that form."""
+    k0, k1 = 0x0706050403020100, 0x0F0E0D0C0B0A0908
+    msgs = [bytes(range(n)) for n in range(8)]
+    got = hashing.siphash24_batch(msgs, k0, k1)
+    expected_bytes = [
+        "310e0edd47db6f72", "fd67dc93c539f874", "5a4fa9d909806c0d",
+        "2d7efbd796666785", "b7877127e09427cf", "8da699cd64557618",
+        "cee3fe586e46c9cb", "37d1018bf50002ab",
+    ]
+    for g, e in zip(got, expected_bytes):
+        assert int(g).to_bytes(8, "little").hex() == e
+
+
+def test_siphash24_batch_matches_scalar_and_rust_framing():
+    """Batch vectorization is mask-correct across ragged lengths, and the
+    token path appends Rust's Hash-for-str 0xff terminator with the
+    reference's (5, 6) keys (py-gaoya/src/sim_hash.rs SimSipHasher64)."""
+    import numpy as np
+
+    tokens = ["", "a", "hello", "x" * 7, "y" * 8, "z" * 23, "mixed é中"]
+    batch = hashing.siphash24_many(tokens)
+    for i, t in enumerate(tokens):
+        single = hashing.siphash24_batch([t.encode("utf-8") + b"\xff"], 5, 6)
+        assert batch[i] == single[0]
+    assert len(np.unique(batch)) == len(tokens)
+
+
+def test_siphash24_hasher_plugs_into_simhash():
+    """token_hasher='siphash24' is a first-class config value (P12)."""
+    from gaoya_spark.config import SimHashConfig, TokenizerSpec
+
+    cfg = SimHashConfig(
+        nbits=64, num_blocks=6, max_distance=5,
+        tokenizer=TokenizerSpec(kind="word", n_from=1, n_to=1),
+        token_hasher="siphash24",
+    )
+    toks = tokenize(S1, cfg.tokenizer)
+    h = hashing.hash_tokens(toks, "siphash24")
+    sig = hashing.simhash_signatures(h, np.array([len(toks)]), 64)
+    sig2 = hashing.simhash_signatures(h, np.array([len(toks)]), 64)
+    assert sig[0] == sig2[0]

