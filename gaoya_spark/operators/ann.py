@@ -151,8 +151,15 @@ def ivf_topk(
     exact cosine rerank. The cross join of the brute-force path becomes an
     equi-join on cell id — the 10^12-scale strategy (candidates shrink by
     ~n_cells/nprobe)."""
+    # seeded RANDOM sample for the centroid fit — limit() would take the
+    # first partitions, biasing centroids on sorted/clustered-by-ingest data
+    n_rows = df.count()
+    frac = min(1.0, (sample_limit * 1.2) / max(n_rows, 1))
     sample_pdf = (
-        df.select(vec_col).limit(sample_limit).toPandas()
+        df.select(vec_col)
+        .sample(fraction=frac, seed=seed)
+        .limit(sample_limit)
+        .toPandas()
     )
     sample = np.array([np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]])
     norms = np.linalg.norm(sample, axis=1, keepdims=True)

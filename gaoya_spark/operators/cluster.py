@@ -107,6 +107,7 @@ def connected_components(
     labels = ids.select("id", F.col("id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
 
+    converged = False
     for it in range(max_iter):
         # neighbor-min: for each node a, min over labels of its neighbors b
         nbr_min = (
@@ -134,8 +135,21 @@ def connected_components(
         n_changed = new_labels.where("changed").limit(1).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # a component with diameter > max_iter would be silently split —
+        # surface it (callers distinguish exact from truncated results)
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            "iterations — labels may split long-diameter components; raise "
+            "max_iter or lower driver_threshold",
+            RuntimeWarning,
+        )
+    labels._cc_converged = converged  # programmatic flag alongside the warning
     return labels
 
 

@@ -100,14 +100,34 @@ class Warehouse:
     def append(self, df: DataFrame, name: str) -> None:
         self.write(df, name, mode="append")
 
+    def overwrite_partitions(self, df: DataFrame, name: str,
+                             partition_by: list[str]) -> None:
+        """Dynamic partition overwrite: replaces exactly the partitions
+        present in df, leaving others intact — the idempotent-append
+        primitive for replayable writers (a foreachBatch retry rewrites its
+        own batch_id partition instead of double-appending). Iceberg's
+        INSERT OVERWRITE has the same semantics when a runtime jar exists."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(self.table_path(name))
+        )
+
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.table_path(name))
 
     def exists(self, name: str) -> bool:
         p = self.table_path(name)
-        return os.path.isdir(p) and (
-            os.path.exists(os.path.join(p, "_SUCCESS"))
-            or any(f.endswith(".parquet") for f in os.listdir(p))
+        if not os.path.isdir(p):
+            return False
+        entries = os.listdir(p)
+        return (
+            "_SUCCESS" in entries
+            or any(f.endswith(".parquet") for f in entries)
+            # partitioned layout (key=value dirs; dynamic partition
+            # overwrite does not leave a root _SUCCESS marker)
+            or any("=" in f and os.path.isdir(os.path.join(p, f)) for f in entries)
         )
 
     def drop(self, name: str) -> None:

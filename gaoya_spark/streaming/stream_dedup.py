@@ -16,8 +16,11 @@ resumable, and unbounded-size (executor state stores are not designed for
 10^12 rows of signatures; a join against a table is).
 
 Checkpointing: Spark's streaming checkpointLocation gives exactly-once
-batch ids; the warehouse append is idempotent per batch id (batch output
-paths are keyed by epoch).
+batch ids, and every warehouse write here is keyed by that batch id: the
+three stream tables are partitioned by batch_id and written with dynamic
+partition overwrite, so a foreachBatch replay (Spark re-runs the same
+batch_id after a mid-batch failure) rewrites its own partition instead of
+double-appending — idempotent by construction.
 """
 
 from __future__ import annotations
@@ -53,7 +56,13 @@ class StreamingDedup:
         ).localCheckpoint(eager=True)
 
         if self.wh.exists("stream_signatures"):
-            index = self.wh.read("stream_signatures")
+            # exclude this batch's own partition: on a foreachBatch replay
+            # the previous attempt's output is already in the table, and
+            # reading it back would make the replay see different state
+            # than the original run (self-matches, duplicated edges)
+            index = self.wh.read("stream_signatures").where(
+                F.col("batch_id") != batch_id
+            )
         else:
             index = None
 
@@ -72,7 +81,9 @@ class StreamingDedup:
         # incremental labels: new id -> min(existing neighbor component,
         # new neighbor id, own id)
         if self.wh.exists("stream_labels"):
-            labels = self.wh.read("stream_labels")
+            labels = self.wh.read("stream_labels").where(
+                F.col("batch_id") != batch_id
+            )
         else:
             labels = self.spark.createDataFrame(
                 [], "id string, component string"
@@ -98,9 +109,18 @@ class StreamingDedup:
             .select("id", F.least(F.col("id"), F.coalesce("nbr_comp", "id")).alias("component"))
         )
 
-        self.wh.append(new_sigs, "stream_signatures")
-        self.wh.append(edges.withColumn("batch_id", F.lit(batch_id)), "stream_edges")
-        self.wh.append(new_labels, "stream_labels")
+        # batch_id-keyed dynamic partition overwrite: a replayed batch
+        # replaces its own partition (idempotent), never double-appends
+        bid = F.lit(batch_id)
+        self.wh.overwrite_partitions(
+            new_sigs.withColumn("batch_id", bid), "stream_signatures", ["batch_id"]
+        )
+        self.wh.overwrite_partitions(
+            edges.withColumn("batch_id", bid), "stream_edges", ["batch_id"]
+        )
+        self.wh.overwrite_partitions(
+            new_labels.withColumn("batch_id", bid), "stream_labels", ["batch_id"]
+        )
 
     # ------------------------------------------------------------- streaming
     def start(self, stream_df: DataFrame, checkpoint_dir: str, trigger_once: bool = True):

@@ -76,6 +76,33 @@ def test_ivf_topk_recall_vs_brute_force(spark, emb):
     assert all(full[q] == bf[q] for q in bf)
 
 
+def test_ivf_centroid_fit_unbiased_on_sorted_input(spark):
+    """The centroid fit must randomly sample, not take first partitions:
+    on an input SORTED so that early partitions contain only one tight
+    cluster, a limit()-based fit would place every centroid in that
+    cluster and recall for the other clusters would collapse."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((6, 32)) * 4
+    rows = []
+    vid = 0
+    for c in range(6):  # cluster-major order = worst case for limit()
+        for _ in range(120):
+            rows.append((vid, (centers[c] + rng.standard_normal(32) * 0.1).tolist()))
+            vid += 1
+    df = (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .repartition(8, "vec_id")  # then re-sort within a coalesced layout
+        .sortWithinPartitions("vec_id")
+    )
+    probes = df.where("vec_id % 40 = 0")
+    bf = {r["qid"]: r["id"] for r in brute_force_topk(df, k=1, probes=probes).collect()}
+    ivf = {r["qid"]: r["id"] for r in
+           ivf_topk(df, k=1, probes=probes, n_cells=6, nprobe=2,
+                    sample_limit=200).collect()}
+    hits = sum(1 for q in bf if ivf.get(q) == bf[q])
+    assert hits / len(bf) >= 0.9, f"IVF top-1 recall on sorted input {hits}/{len(bf)}"
+
+
 def test_cosine_dedup_pairs_planted(spark):
     rng = np.random.default_rng(3)
     base = rng.standard_normal(64)

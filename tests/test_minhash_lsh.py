@@ -134,6 +134,17 @@ def test_minhash_centroid_recovers_group_signature(spark, vectors):
     assert agree / len(base) > 0.9
 
 
+def test_query_by_id(spark, corpus5):
+    """Q7: probe by id — group members match the group, the singleton only
+    itself, unknown ids return nothing (minhash_index.rs:565-578)."""
+    lsh, sigs = corpus5
+    ids = spark.createDataFrame([(0,), (4,), (99,)], "id long")
+    res = lsh.query_by_id(sigs, ids)
+    assert _matches(res, 0) == [0, 1, 2, 3]
+    assert _matches(res, 4) == [4]
+    assert _matches(res, 99) == []
+
+
 def test_minhash_band_centroid_known_vectors(spark):
     """P19 (mod.rs:188-214): per-band most frequent SLICE, concatenated.
     b=2, r=2: band0 slices [1,2],[1,2],[9,9] -> [1,2]; band1 slices

@@ -45,6 +45,31 @@ def test_process_batch_incremental(spark, tmp_path):
     assert wh.read("stream_signatures").count() == 3
 
 
+def test_process_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch retry semantics: Spark re-runs the same batch_id after
+    a mid-batch failure; replaying a batch must not double-append
+    signatures/edges/labels (batch_id-partition dynamic overwrite)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sd = StreamingDedup(spark, wh, CFG)
+    b0 = spark.createDataFrame(
+        _img_rows([(1, "the quick brown fox jumps over the lazy dog"),
+                   (2, "the quick brown fox jumps over the lazy cat")]),
+        SCHEMA,
+    )
+    sd.process_batch(b0, 0)
+    sigs_once = wh.read("stream_signatures").count()
+    edges_once = wh.read("stream_edges").count()
+    labels_once = sorted(
+        (r["id"], r["component"]) for r in wh.read("stream_labels").collect()
+    )
+    sd.process_batch(b0, 0)  # replay
+    assert wh.read("stream_signatures").count() == sigs_once
+    assert wh.read("stream_edges").count() == edges_once
+    assert sorted(
+        (r["id"], r["component"]) for r in wh.read("stream_labels").collect()
+    ) == labels_once
+
+
 def test_file_stream_available_now(spark, tmp_path):
     src = tmp_path / "incoming"
     os.makedirs(src)
