@@ -52,37 +52,50 @@ def sid_pairs_from_buckets(
         .agg(F.array_sort(F.collect_list("sid")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
+    # collapse identical member sets: a tight near-dup family co-buckets
+    # the SAME way in many bands, so the same sorted sid array shows up
+    # once per band — generate its pairs once with multiplicity nb instead
+    # of nb times (the doc-family workload drops ~8x in raw pair volume),
+    # and keep m exact via sum(nb).
+    dbuckets = buckets.groupBy("ids").agg(F.count("*").alias("nb"))
     if persist:
-        # buckets feed the small path and (maybe) the hot path; the hot
+        # dbuckets feed the small path and (maybe) the hot path; the hot
         # gate below forces them once, so the gate action is nearly free.
-        buckets = buckets.persist()
+        dbuckets = dbuckets.persist()
     raw = (
-        buckets.where(F.size("ids") <= array_bucket_limit)
-        .select(F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p"))
-        .select("p.src", "p.dst")
+        dbuckets.where(F.size("ids") <= array_bucket_limit)
+        .select("nb", F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select("p.src", "p.dst", "nb")
     )
     # skip the hot-path join entirely when no bucket exceeds the limit (the
     # common case for sane configs) — one cheap action on persisted buckets
     has_hot = (
         persist
-        and buckets.where(F.size("ids") > array_bucket_limit).limit(1).count() > 0
+        and dbuckets.where(F.size("ids") > array_bucket_limit).limit(1).count() > 0
     ) or not persist
     if has_hot:
-        hot = buckets.where(
+        # hb = hash of the member set (the distinct bucket's identity); an
+        # hb collision merges two hot sets and only ADDS candidate pairs,
+        # which the caller's verify step removes
+        hot = dbuckets.where(
             (F.size("ids") > array_bucket_limit) & (F.size("ids") <= drop_cap)
-        ).select("bk", F.explode("ids").alias("sid"))
+        ).select(
+            F.xxhash64("ids").alias("hb"), "nb", F.explode("ids").alias("sid")
+        )
         g = F.pmod(F.xxhash64("sid", F.lit(_BLOCK_SALT)), F.lit(block_groups))
         hot_g = hot.withColumn("g", g)
         left = hot_g.withColumn(
             "g2", F.explode(F.sequence(F.col("g"), F.lit(block_groups - 1)))
-        ).select("bk", F.col("sid").alias("lid"), F.col("g").alias("g1"), "g2")
-        right = hot_g.select("bk", F.col("sid").alias("rid"), F.col("g").alias("g2"))
+        ).select(
+            "hb", "nb", F.col("sid").alias("lid"), F.col("g").alias("g1"), "g2"
+        )
+        right = hot_g.select("hb", F.col("sid").alias("rid"), F.col("g").alias("g2"))
         # left replicates upward (g2 >= own g), right stays at its own group:
         # a co-bucketed pair meets exactly in block (min(g), max(g)); the
         # same-block half-condition keeps one emission per bucket, so m
         # stays exact across both paths.
         pairs_hot = (
-            left.join(right, ["bk", "g2"])
+            left.join(right, ["hb", "g2"])
             .where(
                 (F.col("g1") < F.col("g2"))
                 | ((F.col("g1") == F.col("g2")) & (F.col("lid") < F.col("rid")))
@@ -90,7 +103,8 @@ def sid_pairs_from_buckets(
             .select(
                 F.least("lid", "rid").alias("src"),
                 F.greatest("lid", "rid").alias("dst"),
+                "nb",
             )
         )
         raw = raw.unionByName(pairs_hot)
-    return raw.groupBy("src", "dst").agg(F.count("*").alias("m"))
+    return raw.groupBy("src", "dst").agg(F.sum("nb").alias("m"))

@@ -171,6 +171,11 @@ class SimHashLSH:
             .groupBy("tk")
             .agg(F.array_sort(F.collect_list(F.struct("sid", "sig"))).alias("ms"))
             .where(F.size("ms") >= 2)
+            # identical member sets recur across tables for tight families —
+            # generate each distinct set's pairs once (no multiplicity
+            # needed here: the output is a distinct pair set, not a count)
+            .select("ms")
+            .distinct()
         )
         if persist:
             buckets = buckets.persist()
@@ -204,23 +209,25 @@ class SimHashLSH:
         if has_big:
             mid = buckets.where(
                 (F.size("ms") > array_bucket_limit) & (F.size("ms") <= max_bucket_size)
-            ).select("tk", F.explode("ms").alias("m")).select(
-                "tk", F.col("m.sid").alias("sid"), F.col("m.sig").alias("sig")
+            ).select(
+                F.xxhash64("ms").alias("hb"), F.explode("ms").alias("m")
+            ).select(
+                "hb", F.col("m.sid").alias("sid"), F.col("m.sig").alias("sig")
             )
             g = F.pmod(F.xxhash64("sid", F.lit(0x5A17)), F.lit(block_groups))
             mid_g = mid.withColumn("g", g)
             left = mid_g.withColumn(
                 "g2", F.explode(F.sequence(F.col("g"), F.lit(block_groups - 1)))
             ).select(
-                "tk", F.col("sid").alias("lid"), F.col("sig").alias("lsig"),
+                "hb", F.col("sid").alias("lid"), F.col("sig").alias("lsig"),
                 F.col("g").alias("g1"), "g2",
             )
             right = mid_g.select(
-                "tk", F.col("sid").alias("rid"), F.col("sig").alias("rsig"),
+                "hb", F.col("sid").alias("rid"), F.col("sig").alias("rsig"),
                 F.col("g").alias("g2"),
             )
             pairs_mid = (
-                left.join(right, ["tk", "g2"])
+                left.join(right, ["hb", "g2"])
                 .where(
                     (F.col("g1") < F.col("g2"))
                     | ((F.col("g1") == F.col("g2")) & (F.col("lid") < F.col("rid")))

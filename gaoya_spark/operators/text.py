@@ -11,8 +11,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# tiny deterministic stopword sets per language for the n-gram/stopword
-# language-ID heuristic (expressible identically in SQL)
+# HEURISTIC PLACEHOLDER, not a production language identifier: 4 languages
+# x 6 stopwords, chosen to be deterministic and expressible identically in
+# SQL so the operator's Spark plumbing (the part that matters at 100 TB)
+# is oracle-checked. A real deployment swaps LANG_STOPWORDS for a proper
+# model (fastText/CLD3) behind the same lang_id() column contract.
 LANG_STOPWORDS = {
     "en": ["the", "and", "of", "to", "is", "a"],
     "es": ["el", "la", "de", "que", "y", "los"],
