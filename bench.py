@@ -155,6 +155,10 @@ def run_once() -> dict:
 
     spark = get_spark("gaoya_spark_bench", cores=CPUS)
     queries, n_docs = build_queries(spark)
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        keep = {q.strip() for q in only.split(",")}
+        queries = {k: v for k, v in queries.items() if k in keep}
     timings = {}
     counts = {}
     for name, fn in queries.items():
@@ -235,8 +239,10 @@ def run_scaling() -> None:
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),
                 # memory scales with parallelism, as adding executors does on
-                # a real cluster (a fixed heap makes the wide run GC-bound)
-                SPARK_GRAFT_DRIVER_MEM=f"{int(cpus * 1.5)}g",
+                # a real cluster (a fixed heap makes the wide run GC-bound);
+                # 3g/core ~ a normal executor memory/core ratio and keeps the
+                # narrow run from thrashing its cache pool at 200k+ rows
+                SPARK_GRAFT_DRIVER_MEM=f"{int(cpus * 3)}g",
             )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -303,8 +309,50 @@ def run_scaling() -> None:
     }))
 
 
+def run_hw_control() -> None:
+    """Hardware-ceiling control for the scaling artifact: the same
+    img-dedup workload run as 1 process at local[2] (T1) vs 4 CONCURRENT
+    INDEPENDENT processes at local[2] each (T4) — zero cross-process
+    shuffles or shared Spark state, so 4x aggregate throughput (T4 == T1)
+    is exactly what the HARDWARE allows when 2 -> 8 cores are engaged.
+    hw_efficiency = T1 / T4 bounds any in-engine 2 -> 8 scaling number on
+    this box: a stage matching it is scaling as well as independent
+    processes can."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS="2",
+        SPARK_GRAFT_DRIVER_MEM="6g",
+        SPARK_GRAFT_ONLY="img_minhash_signatures,img_minhash_dedup",
+    )
+
+    def launch():
+        return subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+
+    # warm the shared image fixture cache first so no run pays generation
+    subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                   capture_output=True, timeout=3600)
+    t0 = time.time()
+    p = launch(); p.wait()
+    t1 = time.time() - t0
+    t0 = time.time()
+    procs = [launch() for _ in range(4)]
+    for p in procs:
+        p.wait()
+    t4 = time.time() - t0
+    print(json.dumps({
+        "t_single_local2": round(t1, 3),
+        "t_4x_concurrent_local2": round(t4, 3),
+        "hw_ceiling_efficiency": round(t1 / t4, 3),
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--hwcontrol" in sys.argv:
+        run_hw_control()
     else:
         print(json.dumps(run_once()))

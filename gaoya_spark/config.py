@@ -26,8 +26,9 @@ MERSENNE_PRIME_61 = (1 << 61) - 1
 # ('0x'||substr(md5(x),1,15))::bigint produce the identical value) used by
 # the DuckDB-oracle parity queries; "siphash24" is SipHash-2-4 with the
 # reference's (5, 6) keys and Rust Hash-for-str framing (SimSipHasher64,
-# py-gaoya/src/sim_hash.rs:171) for config-level compatibility.
-TOKEN_HASHERS = ("fnv1a", "md5_60", "siphash24")
+# py-gaoya/src/sim_hash.rs:171) for config-level compatibility; "sha1" is
+# the reference's Sha1Hasher (first 8 SHA-1 digest bytes, big-endian).
+TOKEN_HASHERS = ("fnv1a", "md5_60", "siphash24", "sha1")
 
 # signature formulas:
 # - "gaoya": sig_i = min over tokens of ((h *u32 a_i) +u32 b_i) % (2^31-1)

@@ -263,7 +263,23 @@ def hash_tokens(tokens: list, hasher: str) -> np.ndarray:
         return md5_60_many(tokens)
     if hasher == "siphash24":
         return siphash24_many(tokens)
+    if hasher == "sha1":
+        return sha1_64_many(tokens)
     raise ValueError(f"unknown token hasher {hasher}")
+
+
+def sha1_64(token: str) -> int:
+    """The reference's Sha1Hasher (gaoya/src/minhash/hashers.rs:17-38):
+    first 8 bytes of the SHA-1 digest as a big-endian u64, fed the Rust
+    Hash-for-str framing (UTF-8 bytes + 0xff terminator)."""
+    d = hashlib.sha1(token.encode("utf-8") + b"\xff").digest()
+    return int.from_bytes(d[:8], "big")
+
+
+def sha1_64_many(tokens: list[str]) -> np.ndarray:
+    return np.fromiter(
+        (sha1_64(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
 
 
 def md5_60_hi(token: str) -> int:

@@ -1,14 +1,18 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Images are opaque `binary` columns with typed metadata (w, h, fmt) — the
-input_hint schema. All Spark-side plumbing (schemas, pandas-UDF signatures,
-Arrow batch shapes, partitioning) is real and tested; only non-'raw' codec
-decode is stubbed (no PIL/cv2 in this container) behind a clearly-marked
-NotImplementedError with an import-try for Pillow when present.
+Images, video, and audio are opaque `binary` columns with typed metadata —
+the input_hint schema generalized per modality. All Spark-side plumbing
+(schemas, pandas-UDF signatures, Arrow batch shapes, partitioning) is real
+and tested; only codec decode is stubbed (no PIL/cv2/ffmpeg/audio libs in
+this container) behind clearly-marked NotImplementedError, with an
+import-try for Pillow when present.
 
-fmt == 'raw' means bytes = h*w*3 uint8 RGB — decodable with numpy alone,
-so the PSNR>=40dB per-row invariant (BASELINE.json input_hint) is exactly
-checkable in-sandbox (raw decode is lossless => PSNR = inf).
+Raw formats are decodable with numpy alone and keep every operator fully
+exercisable in-sandbox:
+- images  fmt='raw'      bytes = h*w*3 uint8 RGB (PSNR>=40dB invariant is
+                         exactly checkable: raw decode is lossless)
+- video   fmt='rawvideo' bytes = n_frames*h*w*3 uint8 RGB frames
+- audio   fmt='rawpcm16' bytes = little-endian int16 mono PCM
 """
 
 from __future__ import annotations
@@ -149,19 +153,98 @@ def psnr_check(df_a: DataFrame, df_b: DataFrame, id_col: str = "image_id") -> Da
     return joined.mapInPandas(run, schema)
 
 
-def frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling STUB: no video codec exists in this container.
-    The Spark-side contract (binary column in, exploded frame rows out) is
-    defined; calling it raises until a codec is available."""
+def decode_video(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """bytes -> (n_frames, h, w, 3) uint8. fmt='rawvideo' = concatenated
+    raw RGB frames (decodable with numpy alone); codec formats are STUBBED
+    (no ffmpeg/av in this container) behind NotImplementedError."""
+    if fmt == "rawvideo":
+        arr = np.frombuffer(data, dtype=np.uint8)
+        frame = h * w * 3
+        if frame == 0 or arr.size % frame:
+            raise ValueError(f"rawvideo buffer {arr.size} not a multiple of {h}x{w}x3")
+        return arr.reshape(-1, h, w, 3)
     raise NotImplementedError(
-        "video decode requires a codec library not present in this container; "
-        "the plumbing contract is (video binary, meta) -> rows of "
-        "(video_id, frame_idx, frame_bytes, w, h, fmt='raw')"
+        f"video codec '{fmt}' requires ffmpeg/PyAV (not in this container); "
+        "only fmt='rawvideo' decodes natively"
     )
 
 
-def audio_features(df: DataFrame) -> DataFrame:
-    """Audio feature extraction STUB (no audio libs in container)."""
+def frame_sample(df: DataFrame, every_n: int = 30,
+                 id_col: str = "video_id") -> DataFrame:
+    """Video frame sampling: explode each video's binary column into one
+    row per sampled frame (frame 0, every_n, 2*every_n, ...), each a
+    raw-RGB image row ready for the image operators (with_phash, resize,
+    minhash-with-phash dedup). Real Spark plumbing — mapInPandas over
+    Arrow batches, frames emitted as fmt='raw' rows; only codec decode is
+    stubbed (decode_video)."""
+    schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType, False),
+        StructField("frame_idx", LongType(), False),
+        StructField("bytes", BinaryType(), True),
+        StructField("w", LongType(), False),
+        StructField("h", LongType(), False),
+        StructField("fmt", StringType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                frames = decode_video(r.bytes, r.fmt, int(r.w), int(r.h))
+                for idx in range(0, len(frames), every_n):
+                    rows.append((
+                        getattr(r, id_col), idx, encode_raw(frames[idx]),
+                        int(r.w), int(r.h), "raw",
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "bytes", "w", "h", "fmt"]
+            )
+
+    return df.select(id_col, "bytes", "w", "h", "fmt").mapInPandas(run, schema)
+
+
+def decode_audio(data: bytes, fmt: str) -> np.ndarray:
+    """bytes -> float64 mono samples in [-1, 1]. fmt='rawpcm16' =
+    little-endian int16 mono PCM (numpy-decodable); codec formats STUBBED."""
+    if fmt == "rawpcm16":
+        return np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     raise NotImplementedError(
-        "audio decode requires an audio library not present in this container"
+        f"audio codec '{fmt}' requires an audio library (not in this "
+        "container); only fmt='rawpcm16' decodes natively"
     )
+
+
+def audio_features(df: DataFrame, id_col: str = "audio_id",
+                   rate_col: str = "sample_rate") -> DataFrame:
+    """Per-clip audio features over raw PCM: duration, RMS level,
+    zero-crossing rate (a pitch/noisiness proxy), and peak amplitude —
+    the typical columns a training-data audio-quality filter keys on.
+    Vectorized numpy per clip inside mapInPandas; codec decode stubbed
+    (decode_audio)."""
+    schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType, False),
+        StructField("n_samples", LongType(), False),
+        StructField("duration_s", DoubleType(), False),
+        StructField("rms", DoubleType(), False),
+        StructField("zero_crossing_rate", DoubleType(), False),
+        StructField("peak", DoubleType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                x = decode_audio(r.bytes, r.fmt)
+                sr = int(getattr(r, rate_col))
+                zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+                rows.append((
+                    getattr(r, id_col), len(x), len(x) / sr if sr else 0.0,
+                    float(np.sqrt(np.mean(x ** 2))) if len(x) else 0.0,
+                    zc, float(np.max(np.abs(x))) if len(x) else 0.0,
+                ))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "n_samples", "duration_s", "rms",
+                "zero_crossing_rate", "peak",
+            ])
+
+    return df.select(id_col, "bytes", "fmt", rate_col).mapInPandas(run, schema)

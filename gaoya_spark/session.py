@@ -30,10 +30,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        # signatures tables of bench-scale corpora (~100-200MB) should
+        # signatures tables of bench-scale corpora (<=~100MB) should
         # broadcast in the verify join; on a real cluster AQE's runtime
-        # stats make this call per-query
-        .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
+        # stats make this call per-query. 128MB (not higher): broadcast
+        # builds live in the driver's unified pool alongside cached
+        # signatures/buckets — a ~250MB build inside a small driver heap
+        # fails outright (measured at 300k rows / 3g driver).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(128 * 1024 * 1024))
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -226,3 +226,18 @@ def test_siphash24_hasher_plugs_into_simhash():
     sig = hashing.simhash_signatures(h, np.array([len(toks)]), 64)
     sig2 = hashing.simhash_signatures(h, np.array([len(toks)]), 64)
     assert sig[0] == sig2[0]
+
+
+def test_sha1_64_hasher():
+    """Sha1Hasher parity shape (hashers.rs:17-38): first 8 SHA-1 digest
+    bytes big-endian over the Rust str framing. Known-answer: computable
+    with hashlib directly."""
+    import hashlib as _h
+
+    for t in ["", "abc", "hello world", "é中"]:
+        expect = int.from_bytes(
+            _h.sha1(t.encode("utf-8") + b"\xff").digest()[:8], "big"
+        )
+        assert hashing.sha1_64(t) == expect
+    arr = hashing.hash_tokens(["a", "b", "a"], "sha1")
+    assert arr[0] == arr[2] != arr[1]

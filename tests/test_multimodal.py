@@ -61,12 +61,54 @@ def test_psnr_check_identity(spark):
     assert all(r["psnr_db"] is None for r in res)
 
 
-def test_frame_sample_and_audio_stubs(spark):
-    df, _ = make_images_df(spark, 2, seed=5)
+def test_frame_sample_rawvideo(spark):
+    """Video plumbing is real for fmt='rawvideo': every_n sampling explodes
+    to raw image rows that feed the image operators directly."""
+    rng = np.random.default_rng(9)
+    w, h, n_frames = 16, 16, 7
+    frames = rng.integers(0, 256, size=(n_frames, h, w, 3)).astype(np.uint8)
+    rows = [("vid0", frames.tobytes(), w, h, "rawvideo")]
+    df = spark.createDataFrame(
+        rows, "video_id string, bytes binary, w long, h long, fmt string"
+    )
+    out = mm.frame_sample(df, every_n=3).collect()
+    assert [r["frame_idx"] for r in out] == [0, 3, 6]
+    for r in out:
+        assert r["fmt"] == "raw" and len(r["bytes"]) == w * h * 3
+        np.testing.assert_array_equal(
+            np.frombuffer(r["bytes"], dtype=np.uint8).reshape(h, w, 3),
+            frames[r["frame_idx"]],
+        )
+    # sampled frames are first-class image rows: phash computes on them
+    imgs = mm.frame_sample(df, every_n=3).withColumnRenamed("video_id", "image_id")
+    hashed = mm.with_phash(imgs).collect()
+    assert all(r["phash_computed"] is not None for r in hashed)
+
+
+def test_audio_features_rawpcm(spark):
+    """Audio plumbing is real for fmt='rawpcm16': a pure sine's RMS is
+    amplitude/sqrt(2) and its zero-crossing rate ~ 2f/sr."""
+    sr, f, amp, secs = 8000, 440, 0.5, 1.0
+    t = np.arange(int(sr * secs)) / sr
+    x = (amp * np.sin(2 * np.pi * f * t) * 32767).astype("<i2")
+    df = spark.createDataFrame(
+        [("a0", x.tobytes(), "rawpcm16", sr)],
+        "audio_id string, bytes binary, fmt string, sample_rate long",
+    )
+    r = mm.audio_features(df).collect()[0]
+    assert r["n_samples"] == sr
+    assert abs(r["duration_s"] - 1.0) < 1e-9
+    assert abs(r["rms"] - amp / np.sqrt(2)) < 0.01
+    assert abs(r["zero_crossing_rate"] - 2 * f / sr) < 0.005
+    assert 0.49 < r["peak"] <= 0.51
+
+
+def test_video_audio_codec_decode_stubbed(spark):
+    """Codec formats stay stubbed (no ffmpeg/audio libs in container)."""
     with pytest.raises(NotImplementedError):
-        mm.frame_sample(df)
+        mm.decode_video(b"xx", "h264", 2, 2)
     with pytest.raises(NotImplementedError):
-        mm.audio_features(df)
+        mm.decode_audio(b"xx", "mp3")
 
 
 def test_average_hash_deterministic():
