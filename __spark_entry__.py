@@ -317,6 +317,34 @@ def _q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4, src < dst)
+    over 1e-3-quantized embeddings — the exact-pairs oracle for the cosine
+    dedup operator family (ann.cosine_dedup_pairs' brute-force path)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("qv"),
+    )
+    a = q.select(F.col("vec_id").alias("src"), F.col("qv").alias("va"))
+    b = q.select(F.col("vec_id").alias("dst"), F.col("qv").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate("va", F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    nb = F.aggregate("vb", F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    return (
+        a.crossJoin(b)
+        .where(F.col("src") < F.col("dst"))
+        .withColumn("cosine", F.round(dot / F.sqrt((na * nb).cast("double")), 6))
+        .where(F.col("cosine") >= 0.4)
+        .select("src", "dst", "cosine")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_count": _q_token_count,
@@ -339,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": _q_substring_pairs,
         "components_ngram": _q_components_ngram,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
+        "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
     }
 
 
@@ -669,4 +698,16 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_sql_simhash128_sig()} SELECT doc_id, w0, w1 FROM sig128"
         ),
         "simhash128_hamming_pairs": _sql_simhash128_pairs(),
+        "embedding_cosine_dup_pairs": (
+            "WITH q AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)::DOUBLE) AS qv "
+            "FROM embeddings) "
+            "SELECT a.vec_id AS src, b.vec_id AS dst, "
+            "round(list_dot_product(a.qv, b.qv) / "
+            "sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)), 6) "
+            "AS cosine FROM q a JOIN q b ON a.vec_id < b.vec_id "
+            "WHERE round(list_dot_product(a.qv, b.qv) / "
+            "sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)), 6) "
+            ">= 0.4"
+        ),
     }
