@@ -317,6 +317,19 @@ def _q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: banded LSH pairs (sim >= 0.5) -> connected
+    components -> keep the smallest id per component. Validates the full
+    signatures -> candidates -> verify -> clustering -> representative
+    pipeline against a recursive-CTE SQL oracle."""
+    docs = _docs(spark, sf_dir)
+    lsh = MinHashLSH(ORACLE_MINHASH)
+    sigs = lsh.signatures(docs, "doc_id", "text")
+    pairs = lsh.dedup_pairs(sigs).select("src", "dst")
+    labels = connected_components(pairs, nodes=docs.select("doc_id"), max_iter=30)
+    return labels.select(F.col("component").alias("keep_id")).distinct()
+
+
 def _q_embedding_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.4, src < dst)
     over 1e-3-quantized embeddings — the exact-pairs oracle for the cosine
@@ -368,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_ngram": _q_components_ngram,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
+        "minhash_dedup_keep_first": _q_minhash_dedup_keep_first,
     }
 
 
@@ -569,6 +583,27 @@ def _sql_band_centroid() -> str:
     )
 
 
+def _sql_minhash_keep_first() -> str:
+    k = ORACLE_MINHASH.num_hashes
+    eq = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return (
+        f"WITH RECURSIVE {_sql_tokens_cte()}, {_sql_sig_cte()}, {_sql_bands_cte()}, "
+        "cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst "
+        "FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key "
+        "AND a.doc_id < b.doc_id), "
+        "edges AS (SELECT p.src, p.dst FROM cand p "
+        "JOIN sig sa ON p.src = sa.doc_id JOIN sig sb ON p.dst = sb.doc_id "
+        f"WHERE ({eq}) / {k}.0 >= 0.5), "
+        "sym AS (SELECT src AS a, dst AS b FROM edges "
+        "UNION SELECT dst, src FROM edges), "
+        "reach (id, r) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT s.a, r.r FROM sym s JOIN reach r ON s.b = r.id) "
+        "SELECT DISTINCT min(r) OVER (PARTITION BY id) AS keep_id FROM reach"
+    )
+
+
 def _sql_components() -> str:
     return (
         f"WITH RECURSIVE {_sql_ngram_ctes(0.8)}, "
@@ -710,4 +745,5 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)), 6) "
             ">= 0.4"
         ),
+        "minhash_dedup_keep_first": _sql_minhash_keep_first(),
     }
