@@ -95,14 +95,22 @@ def connected_components(
         ids = sym.select(F.col("a").alias("id")).distinct()
 
     sym = sym.persist()
-    n_sym = sym.count()
-    if n_sym <= 2 * driver_threshold:
-        spark = edges.sparkSession
-        id_type = dict(sym.dtypes)["a"]
-        rows = [(r["a"], r["b"]) for r in sym.where(F.col("a") < F.col("b")).collect()]
-        out = _driver_union_find(spark, rows, nodes, id_type)
-        sym.unpersist()
-        return out
+    if driver_threshold > 0:
+        # one bounded job decides the path AND fetches the edges: collect at
+        # most threshold+1 unique pairs — if the limit isn't hit, this IS
+        # the edge set (no separate count job, no unbounded collect risk)
+        probe = [
+            (r["a"], r["b"])
+            for r in sym.where(F.col("a") < F.col("b"))
+            .limit(driver_threshold + 1)
+            .collect()
+        ]
+        if len(probe) <= driver_threshold:
+            spark = edges.sparkSession
+            id_type = dict(sym.dtypes)["a"]
+            out = _driver_union_find(spark, probe, nodes, id_type)
+            sym.unpersist()
+            return out
 
     labels = ids.select("id", F.col("id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
