@@ -109,3 +109,45 @@ def test_reconcile_fixes_chains(spark, tmp_path):
     # split! reconcile must co-cluster them
     labels = {r["id"]: r["component"] for r in sd.reconcile().collect()}
     assert labels[4] == labels[5] == 4
+
+
+def test_stateful_first_seen_across_restarts(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: duplicates inside a batch
+    and ACROSS separately-triggered runs are dropped — the second
+    availableNow run restores group state from the checkpoint."""
+    from gaoya_spark.streaming.stateful import first_seen_stream
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ck"
+    os.makedirs(src)
+    spark.createDataFrame(
+        _img_rows([(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta")]),
+        SCHEMA,
+    ).write.parquet(str(src / "f0"))
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src) + "/*")
+        q = (
+            first_seen_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {(r["image_id"], r["caption"]) for r in spark.read.parquet(str(out)).collect()}
+    assert {c for _, c in got} == {"alpha beta", "gamma delta"}
+    assert len(got) == 2  # in-batch duplicate (id 2) dropped
+
+    # second file: one replay of a seen caption + one new caption
+    spark.createDataFrame(
+        _img_rows([(4, "alpha beta"), (5, "epsilon zeta")]), SCHEMA
+    ).write.parquet(str(src / "f1"))
+    run_once()
+    got2 = {(r["image_id"], r["caption"]) for r in spark.read.parquet(str(out)).collect()}
+    assert {c for _, c in got2} == {"alpha beta", "gamma delta", "epsilon zeta"}
+    assert len(got2) == 3  # id 4's duplicate dropped via RESTORED state
