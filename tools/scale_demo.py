@@ -32,8 +32,6 @@ for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
 
 
 def main() -> None:
-    from pyspark.sql import functions as F
-
     from gaoya_spark.config import MinHashConfig, TokenizerSpec
     from gaoya_spark.fixtures import make_images_pdf
     from gaoya_spark.operators.cluster import (
@@ -91,7 +89,6 @@ def main() -> None:
     t_sig = time.time() - t0
 
     t0 = time.time()
-    cand = mh.sid_candidates(sigs)
     pairs = mh.dedup_pairs(sigs).select("src", "dst").persist()
     n_pairs = pairs.count()
     t_dedup = time.time() - t0
