@@ -84,10 +84,28 @@ def connected_components(
     run iterative smallest-id label propagation, each iteration
     checkpointed. Set driver_threshold=0 to force the distributed path.
     """
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.dropDuplicates(["a", "b"])
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if driver_threshold > 0:
+        # one bounded SHUFFLE-FREE job decides the path AND fetches the
+        # edges: collect at most threshold+1 raw edge rows straight from
+        # the input (no symmetrize, no dedup — union-find is idempotent to
+        # duplicate and reversed edges, so duplicates merely count toward
+        # the limit, making the cutover slightly conservative). If the
+        # limit isn't hit, this IS the edge set.
+        probe = [
+            (r["a"], r["b"])
+            for r in raw.limit(driver_threshold + 1).collect()
+        ]
+        if len(probe) <= driver_threshold:
+            spark = edges.sparkSession
+            id_type = dict(raw.dtypes)["a"]
+            return _driver_union_find(spark, probe, nodes, id_type)
+
+    # distributed label propagation: symmetrize + dedup once, persisted
+    # across iterations
+    sym = raw.unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).dropDuplicates(["a", "b"])
 
     if nodes is not None:
         ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
@@ -95,22 +113,6 @@ def connected_components(
         ids = sym.select(F.col("a").alias("id")).distinct()
 
     sym = sym.persist()
-    if driver_threshold > 0:
-        # one bounded job decides the path AND fetches the edges: collect at
-        # most threshold+1 unique pairs — if the limit isn't hit, this IS
-        # the edge set (no separate count job, no unbounded collect risk)
-        probe = [
-            (r["a"], r["b"])
-            for r in sym.where(F.col("a") < F.col("b"))
-            .limit(driver_threshold + 1)
-            .collect()
-        ]
-        if len(probe) <= driver_threshold:
-            spark = edges.sparkSession
-            id_type = dict(sym.dtypes)["a"]
-            out = _driver_union_find(spark, probe, nodes, id_type)
-            sym.unpersist()
-            return out
 
     labels = ids.select("id", F.col("id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
