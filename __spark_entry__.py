@@ -317,6 +317,14 @@ def _q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gaoya_spark.operators.text import bpe_token_estimate
+
+    return bpe_token_estimate(_docs(spark, sf_dir)).select(
+        "doc_id", "n_word_tokens", "n_symbol_tokens", "bpe_token_estimate"
+    )
+
+
 def _q_minhash_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: banded LSH pairs (sim >= 0.5) -> connected
     components -> keep the smallest id per component. Validates the full
@@ -382,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
         "minhash_dedup_keep_first": _q_minhash_dedup_keep_first,
+        "bpe_token_estimate": _q_bpe_token_estimate,
     }
 
 
@@ -746,4 +755,17 @@ def oracle_sql() -> dict[str, str]:
             ">= 0.4"
         ),
         "minhash_dedup_keep_first": _sql_minhash_keep_first(),
+        "bpe_token_estimate": (
+            r"WITH t AS (SELECT doc_id, "
+            r"len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            r"x -> x <> '')) AS n_word_tokens, "
+            r"len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            r"x -> len(x) > 8)) AS n_long, "
+            r"len(regexp_replace(lower(text), '[a-z0-9\s]+', '', 'g')) "
+            r"AS n_symbol_tokens FROM documents) "
+            r"SELECT doc_id, CAST(n_word_tokens AS BIGINT) AS n_word_tokens, "
+            r"CAST(n_symbol_tokens AS BIGINT) AS n_symbol_tokens, "
+            r"round(n_word_tokens + 0.3 * n_long + n_symbol_tokens, 1) "
+            r"AS bpe_token_estimate FROM t"
+        ),
     }

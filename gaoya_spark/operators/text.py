@@ -35,6 +35,29 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bpe_token_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token count for LLM-pipeline budgeting: alphanumeric runs
+    count one token each, every other non-space character counts one (the
+    way byte-pair vocabularies treat punctuation/symbols), plus a 0.3
+    surcharge per long run (>8 chars, which real BPE splits into several
+    subwords). Deterministic, pure codegen, and exactly expressible in
+    ANSI SQL for the oracle — a calibration-free estimator, not a real
+    tokenizer."""
+    c = F.lower(F.col(text_col))
+    runs = F.size(F.filter(F.split(c, r"[^a-z0-9]+"), lambda t: t != ""))
+    long_runs = F.size(
+        F.filter(F.split(c, r"[^a-z0-9]+"), lambda t: F.length(t) > 8)
+    )
+    other_chars = F.length(F.regexp_replace(c, r"[a-z0-9\s]+", ""))
+    est = runs.cast("double") + 0.3 * long_runs.cast("double") + other_chars.cast("double")
+    return df.select(
+        *df.columns,
+        runs.cast("long").alias("n_word_tokens"),
+        other_chars.cast("long").alias("n_symbol_tokens"),
+        F.round(est, 1).alias("bpe_token_estimate"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features: token count, distinct-token ratio, mean
     word length, and a composite score. Deterministic integer ratios."""

@@ -80,3 +80,26 @@ def test_ngram_jaccard_pairs_on_documents(spark, docs):
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
     # word-salad docs share vocabulary but not 90% of char 3-grams
     assert pairs.count() < 200
+
+
+def test_bpe_token_estimate(spark):
+    from gaoya_spark.operators.text import bpe_token_estimate
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "hello, world!!"),
+            (3, "supercalifragilistic"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bpe_token_estimate(df).collect()}
+    assert rows[1]["n_word_tokens"] == 2 and rows[1]["n_symbol_tokens"] == 0
+    assert rows[1]["bpe_token_estimate"] == 2.0
+    # comma + two bangs count as symbol tokens
+    assert rows[2]["n_symbol_tokens"] == 3
+    assert rows[2]["bpe_token_estimate"] == 5.0
+    # one long run gets the 0.3 subword surcharge
+    assert rows[3]["bpe_token_estimate"] == 1.3
+    assert rows[4]["bpe_token_estimate"] == 0.0
