@@ -15,6 +15,7 @@ from gaoya_spark.operators.dedup import (
 )
 from gaoya_spark.operators.substring import substring_pairs
 from gaoya_spark.operators.text import (
+    bpe_token_estimate,
     doc_fingerprint,
     lang_id,
     ngram_jaccard_pairs,
@@ -37,6 +38,7 @@ __all__ = [
     "embedding_dedup",
     "substring_pairs",
     "token_count",
+    "bpe_token_estimate",
     "quality_score",
     "lang_id",
     "doc_fingerprint",
