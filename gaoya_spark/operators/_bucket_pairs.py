@@ -61,6 +61,9 @@ def sid_pairs_from_buckets(
     if persist:
         # dbuckets feed the small path and (maybe) the hot path; the hot
         # gate below forces them once, so the gate action is nearly free.
+        # No explicit unpersist: once the returned frame is consumed and
+        # this reference is GC'd, Spark's ContextCleaner drops the blocks
+        # (and LRU eviction handles the interim).
         dbuckets = dbuckets.persist()
     raw = (
         dbuckets.where(F.size("ids") <= array_bucket_limit)
