@@ -1,94 +1,72 @@
-"""Property-based tests (hypothesis) for the pure kernels — beyond the
-reference's example-based suite (it has none; SURVEY.md §5)."""
+"""Hypothesis property tests for the pure-numpy kernels (no Spark)."""
 
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
 from gaoya_spark import hashing
-from gaoya_spark.params import calculate_b_and_r, lsh_collision_probability
-from gaoya_spark.tokenize import char_shingles, char_shingles_range, whitespace_split
-
-text_st = st.text(min_size=0, max_size=200)
-ascii_st = st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80)
+from gaoya_spark.config import MinHashConfig, TokenizerSpec
 
 
-@given(text_st)
-def test_whitespace_split_no_empties_or_separators(t):
-    toks = whitespace_split(t)
-    for tok in toks:
-        assert tok
-        assert not any(c.isspace() for c in tok)
-        assert not any(33 <= ord(c) <= 47 or 58 <= ord(c) <= 64
-                       or 91 <= ord(c) <= 96 or 123 <= ord(c) <= 126 for c in tok)
+def _sig(tokens, cfg):
+    h = hashing.hash_tokens(tokens, cfg.token_hasher)
+    a, b = hashing.minhash_permutations(cfg.num_hashes, cfg.seed, False)
+    return hashing.minhash_signatures(
+        h, np.array([len(tokens)]), a, b, cfg.hash_size, cfg.formula, False
+    )[0]
 
 
-@given(text_st, st.integers(1, 8))
-def test_char_shingle_count(t, n):
-    assert len(char_shingles(t, n)) == max(len(t) - n + 1, 0)
-    for s in char_shingles(t, n):
-        assert len(s) == n and s in t
+@settings(max_examples=25, deadline=None)
+@given(
+    base=st.sets(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                 min_size=20, max_size=60),
+    extra=st.sets(st.text(alphabet="ijklmnop", min_size=1, max_size=6),
+                  min_size=0, max_size=40),
+)
+def test_minhash_estimator_tracks_true_jaccard(base, extra):
+    """k=200 estimator: |est - true jaccard| within 4 sigma of the
+    binomial std sqrt(j(1-j)/k) (plus slack for hash collisions)."""
+    cfg = MinHashConfig(num_bands=50, band_width=4, threshold=0.5,
+                        tokenizer=TokenizerSpec())
+    A = sorted(base)
+    B = sorted(base | extra)
+    true_j = len(base) / len(base | extra)
+    sa, sb = _sig(A, cfg), _sig(B, cfg)
+    est = float((sa == sb).mean())
+    tol = 4 * np.sqrt(max(true_j * (1 - true_j), 0.01) / cfg.num_hashes) + 0.02
+    assert abs(est - true_j) <= tol, (est, true_j, tol)
 
 
-@given(st.lists(ascii_st, min_size=1, max_size=20))
-def test_fnv_batch_matches_scalar(tokens):
-    got = hashing.fnv1a_u64([t.encode() for t in tokens])
-    for i, t in enumerate(tokens):
-        h = 0xCBF29CE484222325
-        for c in t.encode():
-            h = ((h ^ c) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        assert got[i] == h
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=8))
+def test_siphash_batch_equals_scalar(msgs):
+    """Ragged-batch vectorization is mask-exact vs one-at-a-time."""
+    batch = hashing.siphash24_batch(msgs, 5, 6)
+    for i, m in enumerate(msgs):
+        assert batch[i] == hashing.siphash24_batch([m], 5, 6)[0]
 
 
-@given(st.lists(text_st, min_size=1, max_size=12), st.integers(1, 3), st.integers(0, 2))
-@settings(max_examples=50)
-def test_vectorized_shingle_counts_match_python(texts, n_from, extra):
-    n_to = n_from + extra
-    h, c = hashing.fnv1a_char_shingles_batch(texts, n_from, n_to)
-    assert len(h) == c.sum()
-    for i, t in enumerate(texts):
-        assert c[i] == len(char_shingles_range(t, n_from, n_to))
+@settings(max_examples=25, deadline=None)
+@given(st.sets(st.text(alphabet="abcdefghij", min_size=1, max_size=8),
+               min_size=1, max_size=50))
+def test_simhash128_words_deterministic_and_distinct(tokens):
+    """128-bit simhash: deterministic; the two words derive from
+    independent hash streams (equal only in degenerate cases)."""
+    toks = sorted(tokens)
+    lo_h, hi_h = hashing.hash_tokens_128(toks, "fnv1a")
+    c = np.array([len(toks)])
+    lo1, hi1 = hashing.simhash_signatures128(lo_h, hi_h, c)
+    lo2, hi2 = hashing.simhash_signatures128(lo_h, hi_h, c)
+    assert lo1[0] == lo2[0] and hi1[0] == hi2[0]
+    assert (lo_h != hi_h).any()
 
 
-@given(st.lists(text_st, min_size=2, max_size=8))
-@settings(max_examples=50)
-def test_vectorized_shingles_doc_independent(texts):
-    """Each doc's hash multiset is independent of its batch neighbors."""
-    h, c = hashing.fnv1a_char_shingles_batch(texts, 3, 4)
-    segs = np.split(h, np.cumsum(c)[:-1])
-    for i, t in enumerate(texts):
-        solo_h, solo_c = hashing.fnv1a_char_shingles_batch([t], 3, 4)
-        assert sorted(solo_h) == sorted(segs[i])
-
-
-@given(st.floats(0.05, 0.95), st.integers(8, 512))
-def test_band_params_valid(s, n):
-    b, r = calculate_b_and_r(s, n)
-    assert 1 <= b * r <= n and r >= 1
-    if b > 1 or r > 1:
-        assert lsh_collision_probability(s, b, r) > 0.99 or (b, r) == (n, 1)
-
-
-@given(st.lists(st.integers(1, 10_000), min_size=1, max_size=60),
-       st.lists(st.integers(1, 10_000), min_size=1, max_size=60))
-@settings(max_examples=30)
-def test_minhash_estimator_bounds(xs, ys):
-    a, b = hashing.minhash_permutations(128, 3, False)
-    hx = hashing.splitmix64(np.array(xs, dtype=np.int64))
-    hy = hashing.splitmix64(np.array(ys, dtype=np.int64))
-    sx = hashing.minhash_signatures(hx, np.array([len(xs)]), a, b, 32, "gaoya")[0]
-    sy = hashing.minhash_signatures(hy, np.array([len(ys)]), a, b, 32, "gaoya")[0]
-    sim = hashing.minhash_similarity(sx, sy)
-    assert 0.0 <= sim <= 1.0
-    true_j = len(set(xs) & set(ys)) / len(set(xs) | set(ys))
-    # 128 hashes: bound the estimator error loosely (5 sigma)
-    sigma = (true_j * (1 - true_j) / 128) ** 0.5
-    assert abs(sim - true_j) <= 5 * sigma + 0.06
-    if set(xs) == set(ys):
-        assert sim == 1.0
-
-
-@given(st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=40))
-def test_simhash_self_distance_zero(xs):
-    h = hashing.splitmix64(np.array(xs, dtype=np.int64))
-    s = hashing.simhash_signatures(h, np.array([len(xs)]))
-    assert hashing.hamming_distance(s, s)[0] == 0
+@settings(max_examples=25, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=2**62),
+               min_size=2, max_size=200))
+def test_superminhash_estimator_on_ints(vals):
+    """SuperMinHash: identical input -> identical signature; estimator of
+    a set against itself is exactly 1."""
+    h = hashing.splitmix64(np.array(sorted(vals), dtype=np.int64))
+    s1 = hashing.superminhash_signatures(h, np.array([len(vals)]), 64)
+    s2 = hashing.superminhash_signatures(h, np.array([len(vals)]), 64)
+    assert (s1 == s2).all()
