@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gaoya_spark import hashing
 from gaoya_spark.config import MinHashConfig, SimHashConfig, TokenizerSpec
-from gaoya_spark.operators.cluster import clusters_from_labels, connected_components
+from gaoya_spark.operators.cluster import connected_components
 from gaoya_spark.operators.minhash_lsh import MinHashLSH
 from gaoya_spark.operators.simhash_lsh import SimHashLSH
 
