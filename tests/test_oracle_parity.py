@@ -1,5 +1,5 @@
 """In-suite guard for the driver contract: a fast subset of the
-queries()/oracle_sql() comparisons at sf0.001 (the full 17-query gate is
+queries()/oracle_sql() comparisons at sf0.001 (the full gate over every query is
 tools/oracle_check.py at sf0.01)."""
 
 import os
@@ -19,6 +19,8 @@ SUBSET = [
     "ngram_jaccard_pairs",
     "doc_fingerprint",
     "embedding_cosine_topk",
+    "simhash128_signature",
+    "bpe_token_estimate",
 ]
 
 
