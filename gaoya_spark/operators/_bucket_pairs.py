@@ -39,6 +39,77 @@ def pairs_from_sorted_ids(ids):
     )
 
 
+def sid_cross_pairs_from_buckets(
+    probe_members: DataFrame,
+    index_members: DataFrame,
+    array_bucket_limit: int = 256,
+    drop_cap: int = 100_000,
+    block_groups: int = 16,
+    persist: bool = True,
+) -> DataFrame:
+    """(qid, id, m) probe-vs-index candidates from two (bk, sid) membership
+    frames — the cross (bipartite) variant of sid_pairs_from_buckets for
+    query workloads. One groupBy over the union (side-tagged) collects each
+    bucket's probe and index members; the cross product is JVM array
+    combinatorics for small buckets, a block join for hot ones, and buckets
+    whose index side exceeds drop_cap are excluded. A probe that is also in
+    the index meets itself (reference query() includes self-matches)."""
+    tagged = probe_members.select(
+        "bk", "sid", F.lit(True).alias("is_probe")
+    ).unionByName(index_members.select("bk", "sid", F.lit(False).alias("is_probe")))
+    buckets = (
+        tagged.groupBy("bk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("is_probe"), F.col("sid")))
+            ).alias("qs"),
+            F.array_sort(
+                F.collect_list(F.when(~F.col("is_probe"), F.col("sid")))
+            ).alias("is"),
+        )
+        .where((F.size("qs") >= 1) & (F.size("is") >= 1))
+        # collapse identical (probe-set, index-set) buckets across bands
+        .groupBy("qs", "is")
+        .agg(F.count("*").alias("nb"))
+    )
+    if persist:
+        buckets = buckets.persist()
+    qs, is_ = F.col("qs"), F.col("is")
+    cross = F.flatten(
+        F.transform(
+            qs,
+            lambda q: F.transform(is_, lambda i: F.struct(q.alias("qid"), i.alias("id"))),
+        )
+    )
+    small = buckets.where(
+        (F.size("qs") * F.size("is")) <= (array_bucket_limit * array_bucket_limit)
+    )
+    raw = small.select("nb", F.explode(cross).alias("p")).select(
+        "p.qid", "p.id", "nb"
+    )
+    has_hot = (
+        persist
+        and buckets.where(
+            (F.size("qs") * F.size("is")) > (array_bucket_limit * array_bucket_limit)
+        ).limit(1).count() > 0
+    ) or not persist
+    if has_hot:
+        hot = buckets.where(
+            ((F.size("qs") * F.size("is")) > (array_bucket_limit * array_bucket_limit))
+            & (F.size("is") <= drop_cap)
+        ).select(F.xxhash64("qs", "is").alias("hb"), "nb", "qs", "is")
+        # bipartite block join: probes replicate to every index group
+        left = hot.select(
+            "hb", "nb", F.explode("qs").alias("qid")
+        ).withColumn("g2", F.explode(F.sequence(F.lit(0), F.lit(block_groups - 1))))
+        right = hot.select("hb", F.explode("is").alias("id")).withColumn(
+            "g2", F.pmod(F.xxhash64("id", F.lit(_BLOCK_SALT)), F.lit(block_groups))
+        )
+        pairs_hot = left.join(right, ["hb", "g2"]).select("qid", "id", "nb")
+        raw = raw.unionByName(pairs_hot)
+    return raw.groupBy("qid", "id").agg(F.sum("nb").alias("m"))
+
+
 def sid_pairs_from_buckets(
     members: DataFrame,
     array_bucket_limit: int = 256,
