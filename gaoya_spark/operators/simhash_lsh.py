@@ -318,22 +318,37 @@ class SimHashLSH:
         max_distance: int | None = None,
         keep_distance: bool = False,
     ) -> DataFrame:
-        """Q9: (qid, id[, dist]) with dist < max_distance (strict)."""
+        """Q9: (qid, id[, dist]) with dist < max_distance (strict).
+        Candidates come from the bipartite bucket machinery (side-tagged
+        groupBy over the union of probe and index table keys, cross pairs
+        in sid space), ids/signatures attached only to candidates."""
+        from gaoya_spark.operators._bucket_pairs import sid_cross_pairs_from_buckets
+
         d = self.cfg.max_distance if max_distance is None else max_distance
-        it = self.tables(index_sigs)
-        pt = self.tables(probe_sigs).withColumnRenamed("id", "qid")
-        cand = (
-            pt.join(it, ["table_idx", "key"])
-            .select("qid", "id")
-            .dropDuplicates(["qid", "id"])
+        cand = sid_cross_pairs_from_buckets(
+            self._sid_tables(probe_sigs).select("sid", F.col("tk").alias("bk")),
+            self._sid_tables(index_sigs).select("sid", F.col("tk").alias("bk")),
         )
-        qs = probe_sigs.select(F.col("id").alias("qid"), F.col("sig").alias("sig_q"))
-        ix = index_sigs.select("id", F.col("sig").alias("sig_i"))
+        qs = probe_sigs.select(
+            F.xxhash64("id").alias("qid"),
+            F.col("id").alias("qid_orig"),
+            F.col("sig").alias("sig_q"),
+        )
+        ix = index_sigs.select(
+            F.xxhash64("id").alias("id"),
+            F.col("id").alias("id_orig"),
+            F.col("sig").alias("sig_i"),
+        )
         out = (
             cand.join(qs, "qid")
             .join(ix, "id")
             .withColumn("dist", self._dist(F.col("sig_q"), F.col("sig_i")))
             .where(F.col("dist") < d)
+            .select(
+                F.col("qid_orig").alias("qid"),
+                F.col("id_orig").alias("id"),
+                "dist",
+            )
         )
         cols = ["qid", "id", "dist"] if keep_distance else ["qid", "id"]
         return out.select(*cols)
