@@ -231,6 +231,65 @@ def siphash24_batch(msgs: list[bytes], k0: int, k1: int) -> np.ndarray:
     return v0 ^ v1 ^ v2 ^ v3
 
 
+def siphash24_128_batch(
+    msgs: list[bytes], k0: int, k1: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """SipHash-2-4 with 128-bit output (lo, hi uint64 words), vectorized.
+
+    Exactly the `siphasher::sip128::SipHasher` the reference aliases as
+    SipHasher128 (sim_hasher.rs:2,78-90): vs the 64-bit variant, v1 is
+    XORed with 0xee at init, finalization XORs v2 with 0xee (not 0xff) for
+    the first word, then XORs v1 with 0xdd and runs 4 more rounds for the
+    second; `finish128().as_u128()` puts h1 in the low 64 bits. Verified
+    against the official veorq/SipHash vectors_sip128 (test_hashing)."""
+    n = len(msgs)
+    lens = np.fromiter((len(m) for m in msgs), dtype=np.int64, count=n)
+    n_words = lens // 8 + 1
+    max_words = int(n_words.max()) if n else 0
+    buf = np.zeros((n, max_words * 8), dtype=np.uint8)
+    for i, m in enumerate(msgs):
+        buf[i, : len(m)] = np.frombuffer(m, dtype=np.uint8)
+        buf[i, n_words[i] * 8 - 1] = len(m) & 0xFF
+    words = buf.view("<u8").reshape(n, max_words).astype(np.uint64)
+
+    k0_ = np.uint64(k0)
+    k1_ = np.uint64(k1)
+    v0 = np.full(n, 0x736F6D6570736575, dtype=np.uint64) ^ k0_
+    v1 = np.full(n, 0x646F72616E646F6D, dtype=np.uint64) ^ k1_ ^ np.uint64(0xEE)
+    v2 = np.full(n, 0x6C7967656E657261, dtype=np.uint64) ^ k0_
+    v3 = np.full(n, 0x7465646279746573, dtype=np.uint64) ^ k1_
+    for w in range(max_words):
+        active = w < n_words
+        m = np.where(active, words[:, w], np.uint64(0))
+        t0, t1, t2, t3 = _sipround(v0, v1, v2, v3 ^ m)
+        t0, t1, t2, t3 = _sipround(t0, t1, t2, t3)
+        t0 = t0 ^ m
+        v0 = np.where(active, t0, v0)
+        v1 = np.where(active, t1, v1)
+        v2 = np.where(active, t2, v2)
+        v3 = np.where(active, t3, v3)
+    v2 = v2 ^ np.uint64(0xEE)
+    for _ in range(4):
+        v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+    h1 = v0 ^ v1 ^ v2 ^ v3
+    v1 = v1 ^ np.uint64(0xDD)
+    for _ in range(4):
+        v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+    h2 = v0 ^ v1 ^ v2 ^ v3
+    return h1, h2
+
+
+def siphash24_128_many(
+    tokens: list[str], k0: int = 5, k1: int = 6
+) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit SipHash-2-4 of string tokens with the reference's Rust
+    `Hash for str` framing (UTF-8 bytes + 0xff terminator), keys (5, 6) as
+    in SimSipHasher128::new(5, 6) (py-gaoya/src/sim_hash.rs:189)."""
+    return siphash24_128_batch(
+        [t.encode("utf-8") + b"\xff" for t in tokens], k0, k1
+    )
+
+
 def siphash24_many(tokens: list[str], k0: int = 5, k1: int = 6) -> np.ndarray:
     """SipHash-2-4 of string tokens with the reference's framing: Rust's
     `Hash for str` feeds the UTF-8 bytes plus a 0xff terminator
@@ -291,10 +350,20 @@ def md5_60_hi(token: str) -> int:
 
 def hash_tokens_128(tokens: list, hasher: str) -> tuple[np.ndarray, np.ndarray]:
     """128-bit token hash as two uint64 words (lo = bits 0-63 of the
-    conceptual 128-bit value). The reference's 128-bit simhash uses
-    SipHasher128 (gaoya/src/simhash/sim_hasher.rs:60-90); behavioral
-    parity: fnv1a extends with an independent splitmix64 mix, md5_60 takes
-    two disjoint 60-bit md5 digest windows (SQL-expressible for oracles)."""
+    conceptual 128-bit value).
+
+    - "siphash24": exact SipHasher128 parity with the reference's
+      SimSipHasher128 (gaoya/src/simhash/sim_hasher.rs:64-90) — two
+      independent 64-bit words from SipHash-2-4-128 with keys (5, 6).
+    - "md5_60": two disjoint 60-bit md5 digest windows (SQL-expressible
+      for oracles) — independent words.
+    - other hashers (fnv1a, sha1): BEHAVIORAL-ONLY 128-bit mode — the hi
+      word is splitmix64(lo), a deterministic function of the low word, so
+      these carry 64 bits of token-hash entropy (a lo collision is a full
+      128-bit collision). Fine for LSH bucketing behavior; use siphash24
+      for genuine 128-bit collision resistance / reference parity."""
+    if hasher == "siphash24":
+        return siphash24_128_many(tokens)
     lo = hash_tokens(tokens, hasher)
     if hasher == "md5_60":
         hi = np.fromiter(

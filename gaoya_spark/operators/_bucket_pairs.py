@@ -81,23 +81,34 @@ def sid_cross_pairs_from_buckets(
             lambda q: F.transform(is_, lambda i: F.struct(q.alias("qid"), i.alias("id"))),
         )
     )
-    small = buckets.where(
-        (F.size("qs") * F.size("is")) <= (array_bucket_limit * array_bucket_limit)
-    )
+    # cast BEFORE multiplying: with ANSI off a pathological bucket
+    # (50k x 50k ~ 2.5e9) wraps a 32-bit product negative, sneaking past
+    # the small-path filter and building a multi-billion-element array
+    cross_n = F.size("qs").cast("long") * F.size("is").cast("long")
+    small = buckets.where(cross_n <= (array_bucket_limit * array_bucket_limit))
     raw = small.select("nb", F.explode(cross).alias("p")).select(
         "p.qid", "p.id", "nb"
     )
     has_hot = (
         persist
         and buckets.where(
-            (F.size("qs") * F.size("is")) > (array_bucket_limit * array_bucket_limit)
+            cross_n > (array_bucket_limit * array_bucket_limit)
         ).limit(1).count() > 0
     ) or not persist
     if has_hot:
+        # 128-bit bucket identity (two independently-seeded xxhash64 words,
+        # same scheme as the substring gram fingerprints) so an hb collision
+        # can't merge two hot member sets and inflate m
         hot = buckets.where(
-            ((F.size("qs") * F.size("is")) > (array_bucket_limit * array_bucket_limit))
+            (cross_n > (array_bucket_limit * array_bucket_limit))
             & (F.size("is") <= drop_cap)
-        ).select(F.xxhash64("qs", "is").alias("hb"), "nb", "qs", "is")
+        ).select(
+            F.struct(
+                F.xxhash64("qs", "is").alias("w0"),
+                F.xxhash64("qs", "is", F.lit(1)).alias("w1"),
+            ).alias("hb"),
+            "nb", "qs", "is",
+        )
         # bipartite block join: probes replicate to every index group
         left = hot.select(
             "hb", "nb", F.explode("qs").alias("qid")
@@ -148,13 +159,19 @@ def sid_pairs_from_buckets(
         and dbuckets.where(F.size("ids") > array_bucket_limit).limit(1).count() > 0
     ) or not persist
     if has_hot:
-        # hb = hash of the member set (the distinct bucket's identity); an
-        # hb collision merges two hot sets and only ADDS candidate pairs,
-        # which the caller's verify step removes
+        # hb = 128-bit hash of the member set (two independently-seeded
+        # xxhash64 words): the distinct bucket's identity. A collision here
+        # would merge two hot sets and inflate m (breaking the sim >= m/b
+        # lower bound), so it gets the same 128-bit treatment as the
+        # substring gram fingerprints rather than a single 64-bit word.
         hot = dbuckets.where(
             (F.size("ids") > array_bucket_limit) & (F.size("ids") <= drop_cap)
         ).select(
-            F.xxhash64("ids").alias("hb"), "nb", F.explode("ids").alias("sid")
+            F.struct(
+                F.xxhash64("ids").alias("w0"),
+                F.xxhash64("ids", F.lit(1)).alias("w1"),
+            ).alias("hb"),
+            "nb", F.explode("ids").alias("sid"),
         )
         g = F.pmod(F.xxhash64("sid", F.lit(_BLOCK_SALT)), F.lit(block_groups))
         hot_g = hot.withColumn("g", g)

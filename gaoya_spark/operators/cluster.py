@@ -71,13 +71,18 @@ def connected_components(
     checkpoint_every: int = 1,
     checkpoint_fn=None,
     driver_threshold: int = 2_000_000,
-) -> DataFrame:
+    return_converged: bool = False,
+):
     """(id, component) — component = smallest reachable id.
 
     edges: undirected pair list. nodes: optional (id) DataFrame of all nodes
     (so isolated nodes appear as singleton components). checkpoint_fn:
     optional DataFrame -> DataFrame stage checkpointer (the pipeline passes
-    a warehouse writer; default localCheckpoint).
+    a warehouse writer; default localCheckpoint). return_converged=True
+    returns (labels, converged: bool) instead of just labels — the reliable
+    programmatic convergence signal (a dynamic attribute on the DataFrame
+    would be lost by any subsequent transformation); the driver union-find
+    path is exact, so its flag is always True.
 
     Edge sets at or below driver_threshold use an exact driver-side
     union-find (tiny-stage scheduling otherwise dominates); larger graphs
@@ -99,7 +104,8 @@ def connected_components(
         if len(probe) <= driver_threshold:
             spark = edges.sparkSession
             id_type = dict(raw.dtypes)["a"]
-            return _driver_union_find(spark, probe, nodes, id_type)
+            out = _driver_union_find(spark, probe, nodes, id_type)
+            return (out, True) if return_converged else out
 
     # distributed label propagation: symmetrize + dedup once, persisted
     # across iterations
@@ -159,8 +165,7 @@ def connected_components(
             "max_iter or lower driver_threshold",
             RuntimeWarning,
         )
-    labels._cc_converged = converged  # programmatic flag alongside the warning
-    return labels
+    return (labels, converged) if return_converged else labels
 
 
 def clusters_from_labels(

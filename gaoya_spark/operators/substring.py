@@ -180,9 +180,13 @@ def substring_pairs(
     TRUE gram strings (arrays_overlap, JVM, no Python). verify="lcs":
     attach the exact shared-substring length as lcs_len via the suffix
     automaton (per-pair Python — the expensive path; only for callers that
-    need the length). Legacy booleans map True->"fp128", False->"fp128"."""
+    need the length). Legacy booleans keep their original semantics:
+    True -> "lcs" (the pre-fp128 verified path, lcs_len column included),
+    False -> "fp128"."""
+    if isinstance(verify, bool):
+        verify = "lcs" if verify else "fp128"
     cand = candidate_gram_pairs(df, id_col, text_col, min_len, **kw)
-    if isinstance(verify, bool) or verify == "fp128":
+    if verify == "fp128":
         return cand
     texts_a = df.select(F.col(id_col).alias("src"), F.col(text_col).alias("text_a"))
     texts_b = df.select(F.col(id_col).alias("dst"), F.col(text_col).alias("text_b"))

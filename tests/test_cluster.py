@@ -77,3 +77,30 @@ def test_duplicate_pair_recall_metric(spark):
     # truth pairs: (1,2),(3,4),(3,5),(4,5); co-clustered: (1,2),(3,4) -> 0.5
     r = duplicate_pair_recall(labels, truth)
     assert abs(r - 0.5) < 1e-9
+
+
+def test_return_converged_flag(spark):
+    """return_converged=True returns an explicit (labels, bool) tuple on
+    both paths (ADVICE r2: a dynamic DataFrame attribute is lost by any
+    transformation)."""
+    from gaoya_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    for thr in (10, 0):  # driver union-find path, distributed path
+        labels, converged = connected_components(
+            edges, driver_threshold=thr, return_converged=True
+        )
+        assert converged is True
+        assert {tuple(r) for r in labels.collect()} == {(1, 1), (2, 1), (3, 1)}
+    # truncated run surfaces converged=False (chain needs >1 iteration)
+    import warnings
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "src long, dst long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        _, converged = connected_components(
+            chain, driver_threshold=0, max_iter=1, return_converged=True
+        )
+    assert converged is False

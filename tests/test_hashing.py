@@ -241,3 +241,41 @@ def test_sha1_64_hasher():
         assert hashing.sha1_64(t) == expect
     arr = hashing.hash_tokens(["a", "b", "a"], "sha1")
     assert arr[0] == arr[2] != arr[1]
+
+
+def test_siphash24_128_official_vectors():
+    """SipHash-2-4-128 against the official veorq/SipHash vectors_sip128
+    (key 000102..0f, msg 00..len-1): exact parity with the siphasher
+    crate's sip128::SipHasher the reference uses as SimSipHasher128
+    (gaoya/src/simhash/sim_hasher.rs:2,64-90)."""
+    import numpy as np
+
+    k0, k1 = 0x0706050403020100, 0x0F0E0D0C0B0A0908
+    msgs = [bytes(range(n)) for n in range(4)]
+    lo, hi = hashing.siphash24_128_batch(msgs, k0, k1)
+    expected = [
+        "a3817f04ba25a8e66df67214c7550293",
+        "da87c1d86b99af44347659119b22fc45",
+        "8177228da4a45dc7fca38bdef60affe4",
+        "9c70b60c5267a94e5f33b6b02985ed51",
+    ]
+    for i, exp in enumerate(expected):
+        got = (
+            np.array([lo[i]], dtype="<u8").tobytes()
+            + np.array([hi[i]], dtype="<u8").tobytes()
+        ).hex()
+        assert got == exp
+
+
+def test_hash_tokens_128_siphash_words_independent():
+    """hash_tokens_128('siphash24') returns genuine 128-bit hashes (hi is
+    NOT splitmix64(lo)) with the Rust str framing."""
+    import numpy as np
+
+    tokens = ["", "a", "hello", "é中", "x" * 23]
+    lo, hi = hashing.hash_tokens_128(tokens, "siphash24")
+    lo2, hi2 = hashing.siphash24_128_batch(
+        [t.encode("utf-8") + b"\xff" for t in tokens], 5, 6
+    )
+    assert np.array_equal(lo, lo2) and np.array_equal(hi, hi2)
+    assert not np.array_equal(hi, hashing.splitmix64(lo.view(np.int64)))
