@@ -92,7 +92,9 @@ def build_queries(spark):
         return _force(state["doc_sigs"])
 
     def q_doc_minhash_dedup():
-        return state["doc_sigs"] and mh.dedup_pairs(state["doc_sigs"]).count()
+        # keep_sim=False: the count doesn't read sim, so pairs that clear
+        # the m-band bound skip the signature-verify join
+        return state["doc_sigs"] and mh.dedup_pairs(state["doc_sigs"], keep_sim=False).count()
 
     def q_doc_simhash_dedup():
         sigs = sh.signatures(docs, "doc_id", "text")
@@ -113,7 +115,10 @@ def build_queries(spark):
 
     def q_img_minhash_dedup():
         state["img_pairs"] = (
-            state["img_mh"].dedup_pairs(state["img_sigs"]).select("src", "dst").cache()
+            state["img_mh"]
+            .dedup_pairs(state["img_sigs"], keep_sim=False)
+            .select("src", "dst")
+            .cache()
         )
         return state["img_pairs"].count()
 
@@ -151,20 +156,36 @@ def build_queries(spark):
 
 
 def run_once() -> dict:
+    """One bench process: the full query suite, repeated
+    $SPARK_GRAFT_BENCH_REPS times cold (default 2; caches cleared and
+    fixtures re-materialized between reps), reporting the per-query MIN.
+    Rationale: this host's throughput drifts up to ~2.5x across minutes
+    (the same code measured 11.6s and 29s an hour apart on the headline
+    dedup query); a single-shot number is dominated by that drift, while
+    per-query min over same-process repetitions estimates the true cost —
+    the same aggregation the scaling artifact already uses."""
     from gaoya_spark.session import get_spark
 
     spark = get_spark("gaoya_spark_bench", cores=CPUS)
-    queries, n_docs = build_queries(spark)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     only = os.environ.get("SPARK_GRAFT_ONLY")
-    if only:
-        keep = {q.strip() for q in only.split(",")}
-        queries = {k: v for k, v in queries.items() if k in keep}
-    timings = {}
-    counts = {}
-    for name, fn in queries.items():
-        t0 = time.time()
-        counts[name] = fn()
-        timings[name] = round(time.time() - t0, 3)
+    timings: dict = {}
+    counts: dict = {}
+    for rep in range(reps):
+        spark.catalog.clearCache()
+        queries, n_docs = build_queries(spark)
+        if only:
+            keep = {q.strip() for q in only.split(",")}
+            queries = {k: v for k, v in queries.items() if k in keep}
+        for name, fn in queries.items():
+            t0 = time.time()
+            c = fn()
+            dt = round(time.time() - t0, 3)
+            if name in timings:
+                assert counts[name] == c, f"{name}: count drifted across reps"
+                timings[name] = min(timings[name], dt)
+            else:
+                timings[name], counts[name] = dt, c
     total = round(sum(timings.values()), 3)
     sig_rows = IMAGES_N
     sig_sec = timings["img_minhash_signatures"]
@@ -238,6 +259,9 @@ def run_scaling() -> None:
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),
+                # scaling interleaves its own repeats across subprocesses;
+                # inner repetition would just double every run
+                SPARK_GRAFT_BENCH_REPS="1",
                 # memory scales with parallelism, as adding executors does on
                 # a real cluster (a fixed heap makes the wide run GC-bound);
                 # 3g/core ~ a normal executor memory/core ratio and keeps the
@@ -323,6 +347,7 @@ def run_hw_control() -> None:
         SPARK_GRAFT_CPUS="2",
         SPARK_GRAFT_DRIVER_MEM="6g",
         SPARK_GRAFT_ONLY="img_minhash_signatures,img_minhash_dedup",
+        SPARK_GRAFT_BENCH_REPS="1",  # wall time of the whole process is the metric
     )
 
     def launch():

@@ -23,37 +23,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _driver_union_find(spark, edge_rows, nodes: DataFrame | None, id_type: str) -> DataFrame:
-    """Exact union-find over a collected edge list. Production rationale:
-    once the (deduplicated) edge set fits comfortably in driver memory —
-    always true for the residual graph of later pipeline stages, and for
-    any corpus where dup pairs are a small fraction — a single-process
-    union-find beats O(diameter) distributed shuffles by orders of
-    magnitude. The distributed iterative path below remains the 10^12-row
-    strategy."""
-    parent: dict = {}
+def _driver_union_find(spark, edges_pdf, nodes: DataFrame | None, id_type: str) -> DataFrame:
+    """Exact union-find over a driver-local edge list (pandas DataFrame
+    with columns a, b). Production rationale: once the edge set fits
+    comfortably in driver memory — always true for the residual graph of
+    later pipeline stages, and for any corpus where dup pairs are a small
+    fraction — a single-process union-find beats O(diameter) distributed
+    shuffles by orders of magnitude. The distributed iterative path below
+    remains the 10^12-row strategy.
 
-    def find(x):
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
+    Ids are factorized to int indices so the hot loop runs over a numpy
+    parent array, and both transfers ride Arrow (toPandas in the caller,
+    createDataFrame(pandas) here) — a plain createDataFrame over 20k
+    Python tuples measured ~5s of driver overhead, more than the entire
+    distributed path for the same graph."""
+    import numpy as np
+    import pandas as pd
 
-    for a, b in edge_rows:
-        if a not in parent:
-            parent[a] = a
-        if b not in parent:
-            parent[b] = b
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by smaller id so component = smallest member
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    labels = [(x, find(x)) for x in parent]
-    out = spark.createDataFrame(labels or [], f"id {id_type}, component {id_type}")
+    if len(edges_pdf) == 0:
+        out = spark.createDataFrame([], f"id {id_type}, component {id_type}")
+    else:
+        both = pd.concat([edges_pdf["a"], edges_pdf["b"]], ignore_index=True)
+        codes, uniques = pd.factorize(both)
+        ne = len(edges_pdf)
+        ea, eb = codes[:ne], codes[ne:]
+        parent = np.arange(len(uniques), dtype=np.int64)
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(ea.tolist(), eb.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        # flatten to roots (vectorized), then component = smallest member
+        # id per root — same labels as union-by-smaller-id
+        while True:
+            p2 = parent[parent]
+            if np.array_equal(p2, parent):
+                break
+            parent = p2
+        lab = pd.DataFrame({"id": uniques, "root": parent})
+        lab["component"] = lab.groupby("root")["id"].transform("min")
+        out = spark.createDataFrame(
+            lab[["id", "component"]], f"id {id_type}, component {id_type}"
+        )
     if nodes is not None:
         ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
         out = ids.join(out, "id", "left").select(
@@ -92,15 +111,12 @@ def connected_components(
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if driver_threshold > 0:
         # one bounded SHUFFLE-FREE job decides the path AND fetches the
-        # edges: collect at most threshold+1 raw edge rows straight from
-        # the input (no symmetrize, no dedup — union-find is idempotent to
-        # duplicate and reversed edges, so duplicates merely count toward
-        # the limit, making the cutover slightly conservative). If the
-        # limit isn't hit, this IS the edge set.
-        probe = [
-            (r["a"], r["b"])
-            for r in raw.limit(driver_threshold + 1).collect()
-        ]
+        # edges: pull at most threshold+1 raw edge rows straight from
+        # the input via Arrow (no symmetrize, no dedup — union-find is
+        # idempotent to duplicate and reversed edges, so duplicates merely
+        # count toward the limit, making the cutover slightly
+        # conservative). If the limit isn't hit, this IS the edge set.
+        probe = raw.limit(driver_threshold + 1).toPandas()
         if len(probe) <= driver_threshold:
             spark = edges.sparkSession
             id_type = dict(raw.dtypes)["a"]

@@ -52,9 +52,11 @@ def minhash_dedup(
     component)."""
     lsh = MinHashLSH(cfg or MinHashConfig())
     sigs = lsh.signatures(df, id_col, text_col, phash_col=phash_col)
-    pairs = lsh.dedup_pairs(sigs)
     if keep == "pairs":
-        return pairs
+        return lsh.dedup_pairs(sigs)
+    # labels/first never read sim: keep_sim=False lets above-threshold-by-
+    # m-bound pairs skip the signature verify join
+    pairs = lsh.dedup_pairs(sigs, keep_sim=False)
     labels = connected_components(
         pairs.select("src", "dst"), nodes=df.select(id_col)
     )

@@ -207,3 +207,26 @@ def test_corpus5_with_superminhash_scheme(spark):
     res = lsh.query(sigs, sigs)
     assert _matches(res, 0) == [0, 1, 2, 3]
     assert _matches(res, 4) == [4]
+
+
+def test_dedup_pairs_keep_sim_false_same_pairs(spark):
+    """keep_sim=False (m-band prefilter: m*r disjoint equal positions =>
+    sim >= m*r/k skips verify) returns exactly the same pair set as the
+    verified keep_sim=True path, minus the sim column. The caption fixture
+    has both near-identical pairs (clear the m bound) and borderline
+    ones."""
+    from gaoya_spark.fixtures import make_images_pdf
+
+    cfg = MinHashConfig(
+        num_bands=16, band_width=2, threshold=0.5,
+        tokenizer=TokenizerSpec(kind="char", n_from=3, n_to=3, lowercase=True),
+    )
+    lsh = MinHashLSH(cfg)
+    pdf, _ = make_images_pdf(400, seed=9, dup_frac=0.4, with_bytes=False)
+    docs = spark.createDataFrame(pdf[["image_id", "caption"]])
+    sigs = lsh.signatures(docs, "image_id", "caption").cache()
+    with_sim = {(r["src"], r["dst"]) for r in lsh.dedup_pairs(sigs).collect()}
+    fast = lsh.dedup_pairs(sigs, keep_sim=False)
+    assert fast.columns == ["src", "dst"]
+    assert {(r["src"], r["dst"]) for r in fast.collect()} == with_sim
+    assert len(with_sim) > 0
