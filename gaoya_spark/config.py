@@ -78,7 +78,10 @@ class MinHashConfig:
     formula: str = "gaoya"
     # "affine" = k independent affine hashes (the reference's MinHasher);
     # "superminhash" = one-permutation SuperMinHash (reference's
-    # experimental P10 variant, lower estimator variance)
+    # experimental P10 V1 variant, lower estimator variance);
+    # "superminhash_v2" = the paper's optimized partial-Fisher-Yates
+    # variant (SuperMinHash32V2, super_min_hash.rs:60-135) — sequential
+    # per doc, reference-parity path
     scheme: str = "affine"
     seed: int = 3  # reference default StdRng::seed_from_u64(3)
     # phash folding (north rule): when a phash column is supplied, its 8
@@ -93,7 +96,7 @@ class MinHashConfig:
             raise ValueError(f"unknown token_hasher {self.token_hasher}")
         if self.formula not in SIGNATURE_FORMULAS:
             raise ValueError(f"unknown formula {self.formula}")
-        if self.scheme not in ("affine", "superminhash"):
+        if self.scheme not in ("affine", "superminhash", "superminhash_v2"):
             raise ValueError(f"unknown scheme {self.scheme}")
 
     @property

@@ -76,6 +76,10 @@ def _signature_kernel(cfg: MinHashConfig):
         def kernel(hashes, counts):
             return hashing.superminhash_signatures(hashes, counts, cfg.num_hashes)
         return kernel
+    if cfg.scheme == "superminhash_v2":
+        def kernel(hashes, counts):
+            return hashing.superminhash_v2_signatures(hashes, counts, cfg.num_hashes)
+        return kernel
     a, b = hashing.minhash_permutations(cfg.num_hashes, cfg.seed, bits64)
 
     def kernel(hashes, counts):

@@ -32,6 +32,14 @@ def hamming_distance_col(a, b) -> Column:
     return F.bit_count(ca.bitwiseXOR(cb))
 
 
+def hamming_angle_col(a, b, nbits: int = 64) -> Column:
+    """P16 hamming_angle (gaoya/src/simhash/mod.rs:77-80): the angle
+    estimate d * pi / bitlen implied by the sign-random-projection LSH."""
+    import math
+
+    return hamming_distance_col(a, b).cast("double") * F.lit(math.pi / nbits)
+
+
 def jaccard_col(tokens_a, tokens_b) -> Column:
     inter = F.size(F.array_intersect(tokens_a, tokens_b)).cast("double")
     union = F.size(F.array_union(tokens_a, tokens_b)).cast("double")

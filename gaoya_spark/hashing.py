@@ -548,6 +548,75 @@ def superminhash_signatures(
     return out.astype(np.uint32).astype(np.int64)
 
 
+def superminhash_v2_signatures(
+    token_hashes: np.ndarray,
+    doc_token_counts: np.ndarray,
+    num_hashes: int,
+) -> np.ndarray:
+    """SuperMinHash V2 (P10, arXiv 1706.05698 §optimized algorithm) —
+    behavioral port of the reference's SuperMinHash32V2
+    (/root/reference/gaoya/src/minhash/super_min_hash.rs:60-135): per
+    token, an incremental partial Fisher-Yates shuffle with the q/p marker
+    arrays and the b-histogram early-termination bound a, so later tokens
+    touch ever fewer signature slots.
+
+    The per-token StdRng stream is replaced by counter-based splitmix64
+    draws (same uniform distributions; parity is estimator-behavioral per
+    SURVEY.md §7.2.1). The j-loop state is data-dependent and sequential by
+    construction — this is the experimental reference-parity path; the
+    vectorized superminhash_signatures (V1) is the scale path, and both
+    plug into the same pandas-UDF batching so the outer loop still runs
+    once per Arrow batch, not per row."""
+    m = num_hashes
+    n_docs = len(doc_token_counts)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(doc_token_counts[:-1], out=starts[1:])
+    out = np.empty((n_docs, m), dtype=np.int64)
+    C1 = np.uint64(0x9E3779B97F4A7C15)
+    C2 = np.uint64(0xD1342543DE82EF95)
+    inv53 = 1.0 / float(1 << 53)
+    with np.errstate(over="ignore"):
+        for d in range(n_docs):
+            cnt = int(doc_token_counts[d])
+            h = np.full(m, 99999999.0)
+            a = m - 1
+            q = np.full(m, -1, dtype=np.int64)
+            p = np.zeros(m, dtype=np.int64)
+            b = np.full(m, 0, dtype=np.int64)
+            b[m - 1] = m
+            t0 = int(starts[d])
+            for i in range(cnt):
+                th = np.uint64(token_hashes[t0 + i])
+                # per-(token, step) counter-based draws: r ~ U[0,1),
+                # k ~ U[j, m)
+                steps = np.arange(a + 1, dtype=np.uint64)
+                ru = splitmix64((th + np.uint64(1)) ^ (steps * C1))
+                rs = (ru >> np.uint64(11)).astype(np.float64) * inv53
+                ku = splitmix64(th ^ (steps * C2))
+                j = 0
+                while j <= a:
+                    k = j + int(ku[j] % np.uint64(m - j))
+                    if q[j] != i:
+                        q[j] = i
+                        p[j] = j
+                    if q[k] != i:
+                        q[k] = i
+                        p[k] = k
+                    p[j], p[k] = p[k], p[j]
+                    rpj = rs[j] + j
+                    if rpj < h[p[j]]:
+                        j2 = min(int(h[p[j]]), m - 1)
+                        h[p[j]] = rpj
+                        if j < j2:
+                            b[j2] -= 1
+                            b[j] += 1
+                            while b[a] == 0:
+                                a -= 1
+                    j += 1
+            out[d] = h.astype(np.uint32)
+    return out
+
+
 def simhash_signatures(
     token_hashes: np.ndarray,
     doc_token_counts: np.ndarray,

@@ -51,8 +51,11 @@ def sid_cross_pairs_from_buckets(
     frames — the cross (bipartite) variant of sid_pairs_from_buckets for
     query workloads. One groupBy over the union (side-tagged) collects each
     bucket's probe and index members; the cross product is JVM array
-    combinatorics for small buckets, a block join for hot ones, and buckets
-    whose index side exceeds drop_cap are excluded. A probe that is also in
+    combinatorics for small buckets (probe x index product within
+    array_bucket_limit^2 — per-bucket output is bounded, so point lookups
+    into a big bucket still match), a block join for hot ones; hot buckets
+    whose index side also exceeds drop_cap are excluded (the cap guards
+    the quadratic product, not bounded lookups). A probe that is also in
     the index meets itself (reference query() includes self-matches)."""
     tagged = probe_members.select(
         "bk", "sid", F.lit(True).alias("is_probe")

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
 from gaoya_spark.config import SimHashConfig
+from gaoya_spark.operators._bucket_pairs import sid_cross_pairs_from_buckets
 from gaoya_spark.operators.simhash_lsh import SimHashLSH
 
 
@@ -83,10 +84,20 @@ def rp_lsh_topk(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, dim: int = 64, nbits: int = 64, num_blocks: int = 8,
     max_distance: int = 4, seed: int = 17, probes: DataFrame | None = None,
+    max_bucket_size: int = 256, bucket_cap_hard: int = 100_000,
 ) -> DataFrame:
     """LSH-bucketed ANN: random-hyperplane signature -> Hamming-ball
     candidates (pigeonhole-complete within the ball) -> exact cosine rerank.
-    Output schema matches brute_force_topk."""
+    Output schema matches brute_force_topk.
+
+    Candidates flow through the shared bipartite bucket machinery
+    (_bucket_pairs.sid_cross_pairs_from_buckets), same as minhash/simhash
+    queries: one groupBy over side-tagged (bk, sid) membership, JVM array
+    cross products, hot buckets (> max_bucket_size — e.g. a constant or
+    near-zero embedding repeated across the corpus hashing every copy to
+    one sign pattern) triangle-blocked, buckets beyond bucket_cap_hard
+    excluded. Use rp_bucket_stats with the same parameters to record
+    hot/dropped bucket counts — the cap is never silent."""
     cfg = SimHashConfig(nbits=nbits, num_blocks=num_blocks, max_distance=max_distance)
     lsh = SimHashLSH(cfg)
     udf = _rp_signature_udf(dim, nbits, seed)
@@ -101,16 +112,23 @@ def rp_lsh_topk(
     index = sigs(df, "id")
     probe = sigs(probes or df, "qid")
     it = lsh.tables(index.select(F.col("id"), "sig"), "id")
-    pt = lsh.tables(probe.select(F.col("qid").alias("id"), "sig"), "id").withColumnRenamed("id", "qid")
-    cand = (
-        pt.join(it, ["table_idx", "key"])
-        .select("qid", "id")
-        .where(F.col("qid") != F.col("id"))
-        .dropDuplicates(["qid", "id"])
+    pt = lsh.tables(probe.select(F.col("qid").alias("id"), "sig"), "id")
+    im = it.select(
+        F.xxhash64("table_idx", "key").alias("bk"), F.xxhash64("id").alias("sid")
     )
+    qm = pt.select(
+        F.xxhash64("table_idx", "key").alias("bk"), F.xxhash64("id").alias("sid")
+    )
+    cand = sid_cross_pairs_from_buckets(
+        qm, im, array_bucket_limit=max_bucket_size, drop_cap=bucket_cap_hard
+    )
+    pmap = probe.select(F.xxhash64("qid").alias("sq"), "qid", "v_qid")
+    imap = index.select(F.xxhash64("id").alias("si"), "id", "v_id")
     scored = (
-        cand.join(probe.select("qid", "v_qid"), "qid")
-        .join(index.select("id", "v_id"), "id")
+        cand.select(F.col("qid").alias("sq"), F.col("id").alias("si"))
+        .join(pmap, "sq")
+        .join(imap, "si")
+        .where(F.col("qid") != F.col("id"))
         .withColumn("cosine", cosine_col("v_qid", "v_id"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
@@ -119,6 +137,24 @@ def rp_lsh_topk(
         .where(F.col("rn") <= k)
         .select("qid", "id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def rp_bucket_stats(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, nbits: int = 64, num_blocks: int = 8,
+    max_distance: int = 4, seed: int = 17,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """Per-table bucket occupancy stats for the rp_lsh_topk index (n_hot
+    via max_bucket_size) — the recorded-skew companion of the candidate
+    cap, delegating to SimHashLSH.bucket_stats over the same signatures."""
+    cfg = SimHashConfig(nbits=nbits, num_blocks=num_blocks, max_distance=max_distance)
+    lsh = SimHashLSH(cfg)
+    udf = _rp_signature_udf(dim, nbits, seed)
+    sig_df = df.select(
+        F.col(id_col).alias("id"), udf(F.col(vec_col)).alias("sig")
+    )
+    return lsh.bucket_stats(sig_df, max_bucket_size=max_bucket_size)
 
 
 def _kmeans_fit(sample: np.ndarray, n_cells: int, seed: int, iters: int = 12) -> np.ndarray:

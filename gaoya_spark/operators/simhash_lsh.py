@@ -317,11 +317,19 @@ class SimHashLSH:
         probe_sigs: DataFrame,
         max_distance: int | None = None,
         keep_distance: bool = False,
+        sorted_by_distance: bool = False,
     ) -> DataFrame:
         """Q9: (qid, id[, dist]) with dist < max_distance (strict).
         Candidates come from the bipartite bucket machinery (side-tagged
         groupBy over the union of probe and index table keys, cross pairs
-        in sid space), ids/signatures attached only to candidates."""
+        in sid space), ids/signatures attached only to candidates.
+
+        sorted_by_distance=True mirrors the reference's ascending sort of
+        each query's matches (sim_hash_index.rs:203 `matches.sort_by(...)`)
+        as a (qid, dist, id) orderBy — note a DataFrame's ordering is a
+        presentation property (any further transformation may drop it), so
+        downstream code should use query_top_k / query_one rather than
+        relying on row order."""
         from gaoya_spark.operators._bucket_pairs import sid_cross_pairs_from_buckets
 
         d = self.cfg.max_distance if max_distance is None else max_distance
@@ -350,8 +358,15 @@ class SimHashLSH:
                 "dist",
             )
         )
-        cols = ["qid", "id", "dist"] if keep_distance else ["qid", "id"]
-        return out.select(*cols)
+        cols = (
+            ["qid", "id", "dist"]
+            if (keep_distance or sorted_by_distance)
+            else ["qid", "id"]
+        )
+        out = out.select(*cols)
+        if sorted_by_distance:
+            out = out.orderBy(F.asc("qid"), F.asc("dist"), F.asc("id"))
+        return out
 
     def query_one(self, index_sigs: DataFrame, probe_sigs: DataFrame,
                   max_distance: int | None = None) -> DataFrame:
@@ -360,6 +375,25 @@ class SimHashLSH:
         w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("id"))
         return m.withColumn("rn", F.row_number().over(w)).where("rn = 1").select(
             "qid", "id", "dist"
+        )
+
+    def query_top_k(
+        self,
+        index_sigs: DataFrame,
+        probe_sigs: DataFrame,
+        k: int,
+        max_distance: int | None = None,
+    ) -> DataFrame:
+        """k best (lowest-distance) matches per query within the Hamming
+        ball, ties broken by id — the distributed form of the reference's
+        distance-ascending match list (sim_hash_index.rs:203) truncated to
+        k per probe."""
+        m = self.query(index_sigs, probe_sigs, max_distance, keep_distance=True)
+        w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("id"))
+        return (
+            m.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("qid", "id", "dist")
         )
 
     # -------------------------------------------------------------- centroid

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from gaoya_spark.operators.ann import (
+    rp_bucket_stats,
     brute_force_topk,
     cosine_dedup_pairs,
     ivf_topk,
@@ -117,3 +118,46 @@ def test_cosine_dedup_pairs_planted(spark):
     # LSH path finds the same planted pair
     pairs_lsh = cosine_dedup_pairs(df, threshold=0.95, use_lsh=True).collect()
     assert {(r["src"], r["dst"]) for r in pairs_lsh} == {(0, 1)}
+
+
+def test_rp_lsh_hot_bucket_capped_and_recorded(spark):
+    """A constant embedding repeated 600x hashes every copy to one sign
+    pattern in every table — the web-scale hot bucket. With
+    bucket_cap_hard below the bucket size the candidate join must stay
+    bounded (no quadratic pair blowup from the constant cluster), normal
+    planted near-dups must still be found, and rp_bucket_stats must record
+    the hot buckets (never silent)."""
+    rng = np.random.default_rng(43)
+    rows = []
+    const = np.ones(64)
+    for i in range(600):
+        rows.append((10_000 + i, const.tolist()))
+    for i in range(40):
+        base = rng.standard_normal(64)
+        rows.append((2 * i, base.tolist()))
+        rows.append((2 * i + 1, (base + rng.standard_normal(64) * 0.02).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = df.where("vec_id < 10000 and vec_id % 2 = 0")
+    got = {
+        r["qid"]: r["id"]
+        for r in rp_lsh_topk(
+            df, k=1, probes=probes, max_bucket_size=64, bucket_cap_hard=500
+        ).collect()
+    }
+    hits = sum(1 for q, i in got.items() if i == q + 1)
+    assert hits >= 38, f"near-dup top-1 hits {hits}/40 with hot bucket planted"
+    # probing ALL constants (600 probes x 600 index members — the
+    # quadratic product the cap exists for) hits the hot branch and the
+    # bucket (index side 600 > bucket_cap_hard=500) is excluded: zero
+    # matches instead of a 360k-pair blowup. A single constant probe would
+    # still match through the bounded small path — the cap guards the
+    # product, not point lookups.
+    const_probe = df.where("vec_id >= 10000")
+    got_const = rp_lsh_topk(
+        df, k=1, probes=const_probe, max_bucket_size=64, bucket_cap_hard=500
+    ).count()
+    assert got_const == 0
+    # ...and the skew metric records it: every table has >= 1 hot bucket
+    stats = rp_bucket_stats(df, max_bucket_size=64).collect()
+    assert len(stats) > 0
+    assert all(r["n_dropped"] >= 1 for r in stats)

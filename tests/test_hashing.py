@@ -279,3 +279,40 @@ def test_hash_tokens_128_siphash_words_independent():
     )
     assert np.array_equal(lo, lo2) and np.array_equal(hi, hi2)
     assert not np.array_equal(hi, hashing.splitmix64(lo.view(np.int64)))
+
+
+def test_superminhash_v2_estimator_and_sentinel():
+    """P10 V2 (SuperMinHash32V2, super_min_hash.rs:60-135): the optimized
+    partial-Fisher-Yates variant estimates jaccard within the reference's
+    own test tolerance (its tests assert |est - actual| < 0.15 on these
+    string pairs), deterministically; empty docs keep the 99999999
+    initializer."""
+    from gaoya_spark.config import TokenizerSpec
+
+    spec = TokenizerSpec(kind="word", n_from=1, n_to=1)
+
+    def sig(text, m=256):
+        toks = tokenize(text, spec)
+        h = hashing.hash_tokens(toks, "fnv1a")
+        return hashing.superminhash_v2_signatures(h, np.array([len(toks)]), m)[0]
+
+    est = float((sig(S1) == sig(S2)).mean())
+    assert abs(est - _exact_jaccard(S1, S2)) < 0.15
+    assert (sig(S1) == sig(S1)).all()
+    # multi-doc batching agrees with per-doc runs
+    toks1 = tokenize(S1, spec)
+    toks2 = tokenize(S2, spec)
+    h = hashing.hash_tokens(toks1 + toks2, "fnv1a")
+    both = hashing.superminhash_v2_signatures(
+        h, np.array([len(toks1), len(toks2)]), 64
+    )
+    assert (both[0] == sig(S1, 64)).all() and (both[1] == sig(S2, 64)).all()
+    e = hashing.superminhash_v2_signatures(np.empty(0, dtype=np.uint64), np.array([0]), 8)
+    assert (e == 99999999).all()
+
+
+def test_superminhash_v2_scheme_plugs_into_config():
+    from gaoya_spark.config import MinHashConfig
+
+    cfg = MinHashConfig(num_bands=8, band_width=8, scheme="superminhash_v2")
+    assert cfg.num_hashes == 64

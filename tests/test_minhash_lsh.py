@@ -230,3 +230,14 @@ def test_dedup_pairs_keep_sim_false_same_pairs(spark):
     assert fast.columns == ["src", "dst"]
     assert {(r["src"], r["dst"]) for r in fast.collect()} == with_sim
     assert len(with_sim) > 0
+
+
+def test_query_sorted_by_similarity(spark, corpus5):
+    """Q4's similarity-descending return (minhash_index.rs:637) as an
+    explicit orderBy."""
+    lsh, sigs = corpus5
+    probe = sigs.where("id = 0")
+    rows = lsh.query(sigs, probe, sorted_by_similarity=True).collect()
+    sims = [r["sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert rows[0]["id"] == 0 and rows[0]["sim"] == 1.0

@@ -201,3 +201,50 @@ def test_u128_centroid_words(spark):
     df = spark.createDataFrame(rows, "id long, sig array<long>, grp string")
     c = lsh.centroid(df, "grp").collect()[0]["centroid"]
     assert list(c) == [0b011, neg]
+
+
+def test_query_sorted_and_top_k(spark):
+    """Q8/Q9 sorted return (sim_hash_index.rs:203 sorts matches by distance
+    ascending) and its truncated per-probe form query_top_k."""
+    from pyspark.sql import functions as F
+
+    from gaoya_spark.config import SimHashConfig, TokenizerSpec
+    from gaoya_spark.operators.simhash_lsh import SimHashLSH
+
+    cfg = SimHashConfig(
+        nbits=64, num_blocks=11, max_distance=10,
+        tokenizer=TokenizerSpec(kind="word", n_from=1, n_to=1),
+    )
+    lsh = SimHashLSH(cfg)
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " today"),
+            (2, base + " yesterday evening"),
+            (3, "completely different words about spark clusters and shuffles"),
+        ],
+        "id long, text string",
+    )
+    sigs = lsh.signatures(docs, "id", "text").cache()
+    probe = sigs.where("id = 0")
+    rows = lsh.query(sigs, probe, sorted_by_distance=True).collect()
+    assert [r["dist"] for r in rows] == sorted(r["dist"] for r in rows)
+    assert rows[0]["id"] == 0 and rows[0]["dist"] == 0  # self-match first
+    top2 = lsh.query_top_k(sigs, probe, k=2).collect()
+    assert len(top2) == 2
+    assert [r["id"] for r in top2] == [r["id"] for r in rows[:2]]
+
+
+def test_hamming_angle_col(spark):
+    """P16 hamming_angle (simhash/mod.rs:77-80): d * pi / bitlen."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gaoya_spark.functions.similarity import hamming_angle_col
+
+    df = spark.createDataFrame([(0b1011, 0b0011), (7, 7)], "a long, b long")
+    got = df.select(hamming_angle_col("a", "b", 64).alias("ang")).collect()
+    assert abs(got[0]["ang"] - math.pi / 64) < 1e-12
+    assert got[1]["ang"] == 0.0
