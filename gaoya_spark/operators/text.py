@@ -1,7 +1,8 @@
 """Text-analysis operators for training-data pipelines (brief extension —
 no reference counterpart; these are first-class components alongside the
 LSH operators). All hot paths are JVM-side column expressions (whole-stage
-codegen); nothing here crosses into Python.
+codegen); the only optional Python crossing is lang_id's pluggable model
+hook (Arrow-batched pandas UDF).
 
 Every function returns columns designed to be exactly reproducible in
 ANSI SQL for the DuckDB oracle (integer-derived doubles, explicit rounding).
@@ -9,6 +10,9 @@ ANSI SQL for the DuckDB oracle (integer-derived doubles, explicit rounding).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # HEURISTIC PLACEHOLDER, not a production language identifier: 4 languages
@@ -84,10 +88,25 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(df: DataFrame, text_col: str = "text", model=None) -> DataFrame:
     """Stopword-ratio language ID: count hits against each language's
     stopword list over the first 64 tokens; argmax with deterministic
-    tie-break by language code; 'und' when no hits."""
+    tie-break by language code; 'und' when no hits.
+
+    model: optional callable pandas.Series[str] -> pandas.Series[str] of
+    language codes — the pluggable real-model hook (same idea as
+    TokenizerSpec.analyzer): wrap fastText/CLD3 here and it runs as an
+    Arrow-batched pandas UDF behind the SAME lang_pred column contract, so
+    swapping the placeholder table touches no pipeline code. None keeps
+    the deterministic stopword default (the SQL-expressible oracle path)."""
+    if model is not None:
+
+        @F.pandas_udf("string")
+        def _pred(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for s in it:
+                yield pd.Series(model(s), dtype="object")
+
+        return df.withColumn("lang_pred", _pred(F.col(text_col)))
     toks = F.slice(tokens_col(text_col), 1, 64)
     hit_cols = []
     for lang in sorted(LANG_STOPWORDS):

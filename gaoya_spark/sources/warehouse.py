@@ -61,6 +61,29 @@ ICEBERG_UPSERT = (
 )
 
 
+def render_iceberg_ddl(catalog: str, db: str) -> dict[str, str]:
+    """Render the stage-table DDL for a catalog/database. Parquet-fallback
+    parity contract: the Warehouse exposes the SAME table names, writer
+    methods, and stage-resume semantics either way — Iceberg adds snapshot
+    atomicity and time travel, the parquet fallback substitutes _SUCCESS
+    markers + the JSON stage manifest; pipelines never branch on which
+    backend is active."""
+    return {
+        name: ddl.format(catalog=catalog, db=db)
+        for name, ddl in ICEBERG_TABLE_DDL.items()
+    }
+
+
+def render_iceberg_delete(table: str, ids_view: str) -> str:
+    """W3 bulk removal as Iceberg DML."""
+    return ICEBERG_DELETE.format(table=table, ids_view=ids_view)
+
+
+def render_iceberg_upsert(table: str, updates_view: str) -> str:
+    """W8 idempotent upsert as Iceberg MERGE."""
+    return ICEBERG_UPSERT.format(table=table, updates_view=updates_view)
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(

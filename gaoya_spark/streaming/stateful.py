@@ -9,10 +9,22 @@ state DOES fit the store — schema-typed state, Arrow-batched groups,
 checkpoint-recoverable across restarts (the test replays a second
 availableNow run against the same checkpoint and the state survives).
 
+State growth is bounded two ways:
+- ttl_minutes: processing-time timeout eviction (GroupStateTimeout). A
+  bucket idle longer than the TTL is dropped from the state store on the
+  next trigger, so a first-seen re-arrival after the TTL re-emits — the
+  standard streaming-dedup "dedup within a horizon" contract
+  (`dropDuplicates` + watermark has the same semantics).
+- the update is incremental in work: new hashes are appended to the prior
+  list (no re-sort), and a batch that adds nothing skips state.update()
+  entirely. The state-store API itself replaces the whole value per key
+  (applyInPandasWithState has no list-append primitive), which is why rows
+  hash-partition across n_buckets keys — each rewrite serializes
+  total_distinct/n_buckets entries, not the corpus.
+
 Scale note: rows hash-partition across `n_buckets` state keys, so state
 per key is total_distinct/n_buckets and the shuffle key is an int. For
-unbounded corpora pair this with a state TTL (GroupStateTimeout /
-watermark eviction) or fall back to the warehouse-table design.
+unbounded corpora without a TTL horizon, use the warehouse-table design.
 """
 
 from __future__ import annotations
@@ -33,20 +45,32 @@ def first_seen_stream(
     id_col: str = "image_id",
     text_col: str = "caption",
     n_buckets: int = 64,
+    ttl_minutes: float | None = None,
 ) -> DataFrame:
-    """Emit only the FIRST row (per stream lifetime) for each distinct
-    text value; later exact duplicates are dropped. Within a micro-batch,
-    arrival order inside the group decides the winner (deterministic per
-    batch content)."""
+    """Emit only the FIRST row for each distinct text value; later exact
+    duplicates are dropped. Within a micro-batch, arrival order inside the
+    group decides the winner (deterministic per batch content).
+
+    ttl_minutes=None dedups over the whole stream lifetime (state grows
+    with distinct count); with a TTL, a bucket's seen-set is evicted after
+    that long without traffic, bounding state for unbounded streams at the
+    cost of re-admitting duplicates older than the horizon."""
     out_schema = (
         f"{id_col} {dict(stream_df.dtypes)[id_col]}, "
         f"{text_col} string, bucket int"
     )
+    ttl_ms = None if ttl_minutes is None else max(int(ttl_minutes * 60_000), 1)
 
     def dedup_group(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        seen = set(state.get[0]) if state.exists else set()
+        if state.hasTimedOut:
+            # TTL eviction: the bucket went idle past the horizon
+            state.remove()
+            return
+        old = list(state.get[0]) if state.exists else []
+        seen = set(old)
+        fresh: list[int] = []
         for pdf in pdfs:
             hashes = hashing.fnv1a_u64(
                 [t.encode("utf-8") for t in pdf[text_col]]
@@ -54,12 +78,22 @@ def first_seen_stream(
             keep = []
             for hv in hashes:
                 hv = int(hv)
-                keep.append(hv not in seen)
-                seen.add(hv)
+                if hv in seen:
+                    keep.append(False)
+                else:
+                    keep.append(True)
+                    seen.add(hv)
+                    fresh.append(hv)
             out = pdf[keep]
             if len(out):
                 yield out[[id_col, text_col, "bucket"]]
-        state.update((sorted(seen),))
+        if fresh:
+            # append-only: no re-sort, and no rewrite at all when the
+            # batch contained only duplicates (fresh empty, TTL refresh
+            # aside)
+            state.update((old + fresh,))
+        if ttl_ms is not None and (fresh or state.exists):
+            state.setTimeoutDuration(ttl_ms)
 
     buckets = stream_df.select(
         id_col, text_col,
@@ -70,5 +104,9 @@ def first_seen_stream(
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -42,3 +42,39 @@ def test_warehouse_roundtrip_and_manifest(spark, tmp_path):
     assert wh.run_stage("s1", "t1", boom).count() == 10
     wh.reset_stage("s1")
     assert not wh.stage_done("s1")
+
+
+def test_iceberg_templates_render_and_gate(spark, tmp_path):
+    """The Iceberg DDL/DML templates are untestable end-to-end in this
+    sandbox (no runtime jar — SURVEY.md §7.1), so pin what IS testable:
+    template rendering is complete and well-formed, the availability gate
+    correctly reports the jar's absence, and the Warehouse therefore runs
+    the parquet fallback with the same table/stage contract."""
+    from gaoya_spark.sources.warehouse import (
+        Warehouse,
+        iceberg_available,
+        render_iceberg_ddl,
+        render_iceberg_delete,
+        render_iceberg_upsert,
+    )
+
+    ddl = render_iceberg_ddl("cat", "db")
+    assert set(ddl) == {"signatures", "candidate_edges", "cluster_labels"}
+    for name, stmt in ddl.items():
+        assert f"cat.db.{name}" in stmt
+        assert "USING iceberg" in stmt
+        assert "bucket(512" in stmt  # pruned-join table layout
+        assert "{" not in stmt  # every placeholder substituted
+    d = render_iceberg_delete("cat.db.signatures", "ids_v")
+    assert d == "DELETE FROM cat.db.signatures WHERE id IN (SELECT id FROM ids_v)"
+    u = render_iceberg_upsert("cat.db.signatures", "upd_v")
+    assert u.startswith("MERGE INTO cat.db.signatures t USING upd_v u ON t.id = u.id")
+    assert "WHEN MATCHED THEN UPDATE SET *" in u
+
+    # the gate: no Iceberg jar here, so auto-detection must choose parquet
+    assert iceberg_available(spark) is False
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert wh.iceberg is False
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    out = wh.run_stage("s1", "t1", lambda: df)
+    assert out.count() == 1 and wh.stage_done("s1")

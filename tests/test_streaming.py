@@ -151,3 +151,76 @@ def test_stateful_first_seen_across_restarts(spark, tmp_path):
     got2 = {(r["image_id"], r["caption"]) for r in spark.read.parquet(str(out)).collect()}
     assert {c for _, c in got2} == {"alpha beta", "gamma delta", "epsilon zeta"}
     assert len(got2) == 3  # id 4's duplicate dropped via RESTORED state
+
+
+def test_stateful_first_seen_ttl_eviction(spark, tmp_path):
+    """TTL horizon: a bucket idle past ttl_minutes is evicted from the
+    state store (GroupStateTimeout processing-time timeout), so a
+    duplicate arriving after the horizon is re-admitted — and without the
+    idle gap the same replay is still dropped."""
+    import time as _time
+
+    from gaoya_spark.streaming.stateful import first_seen_stream
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ck"
+    os.makedirs(src)
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src) + "/*")
+        q = (
+            first_seen_stream(stream, ttl_minutes=0.1 / 60)  # 100ms horizon
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(_img_rows([(1, "alpha beta")]), SCHEMA).write.parquet(
+        str(src / "f0")
+    )
+    run_once()
+    _time.sleep(1.0)  # let the 100ms TTL lapse while the bucket is idle
+    # a trigger with data for a DIFFERENT bucket fires the timeout path
+    # for the expired one (timed-out keys are invoked with hasTimedOut)
+    spark.createDataFrame(_img_rows([(2, "gamma delta")]), SCHEMA).write.parquet(
+        str(src / "f1")
+    )
+    run_once()
+    # replay of the evicted caption: re-admitted
+    spark.createDataFrame(_img_rows([(3, "alpha beta")]), SCHEMA).write.parquet(
+        str(src / "f2")
+    )
+    run_once()
+    got = [(r["image_id"], r["caption"]) for r in spark.read.parquet(str(out)).collect()]
+    assert sorted(got) == [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")]
+    # with a TTL comfortably above the trigger cadence, cross-run replay
+    # is still deduped (same contract as the no-TTL restart test)
+    src2, out2, ckpt2 = tmp_path / "in2", tmp_path / "out2", tmp_path / "ck2"
+    os.makedirs(src2)
+
+    def run_long_ttl():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src2) + "/*")
+        q = (
+            first_seen_stream(stream, ttl_minutes=60)
+            .writeStream.format("parquet")
+            .option("path", str(out2))
+            .option("checkpointLocation", str(ckpt2))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(_img_rows([(1, "alpha beta")]), SCHEMA).write.parquet(
+        str(src2 / "f0")
+    )
+    run_long_ttl()
+    spark.createDataFrame(_img_rows([(4, "alpha beta")]), SCHEMA).write.parquet(
+        str(src2 / "f1")
+    )
+    run_long_ttl()
+    got2 = {r["image_id"] for r in spark.read.parquet(str(out2)).collect()}
+    assert got2 == {1}

@@ -103,3 +103,22 @@ def test_bpe_token_estimate(spark):
     # one long run gets the 0.3 subword surcharge
     assert rows[3]["bpe_token_estimate"] == 1.3
     assert rows[4]["bpe_token_estimate"] == 0.0
+
+
+def test_lang_id_pluggable_model(spark):
+    """The model hook swaps the stopword placeholder behind the same
+    lang_pred contract (an Arrow-batched callable, e.g. fastText)."""
+    from gaoya_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        [(1, "zz zz zz"), (2, "the cat and the hat")], "id long, text string"
+    )
+
+    def toy_model(texts):
+        return ["xx" if "zz" in t else "en" for t in texts]
+
+    got = {r["id"]: r["lang_pred"] for r in lang_id(df, model=toy_model).collect()}
+    assert got == {1: "xx", 2: "en"}
+    # default path unchanged
+    base = {r["id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert base[2] == "en"
