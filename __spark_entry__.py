@@ -171,6 +171,53 @@ ORACLE_SIMHASH128 = SimHashConfig(
 )
 
 
+def _q_minhash_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The m-band prefilter dedup path (dedup_pairs(keep_sim=False)): a
+    pair matching m bands has >= m*r equal positions, so m >= ceil(t*k/r)
+    skips the exact verify. The oracle computes the fully-verified pair
+    set — the two must be identical."""
+    lsh = MinHashLSH(ORACLE_MINHASH)
+    sigs = _minhash_sigs_oracle(spark, sf_dir)
+    return lsh.dedup_pairs(sigs, keep_sim=False)
+
+
+def _q_simhash_hamming_angle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16 hamming_angle (simhash/mod.rs:77-80) over the Hamming-ball
+    pairs: angle = dist * pi / nbits, computed by hamming_angle_col on the
+    joined signatures."""
+    from gaoya_spark.functions.similarity import hamming_angle_col
+
+    lsh = SimHashLSH(ORACLE_SIMHASH)
+    sigs = lsh.signatures(_docs(spark, sf_dir), "doc_id", "text")
+    pairs = lsh.dedup_pairs(sigs)
+    sa = sigs.select(F.col("id").alias("src"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("dst"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "src")
+        .join(sb, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(hamming_angle_col("sig_a", "sig_b", ORACLE_SIMHASH.nbits), 6).alias(
+                "angle"
+            ),
+        )
+    )
+
+
+def _q_simhash_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash per-probe top-3 by distance asc (the distributed form of
+    sim_hash_index.rs:203's distance-sorted match list): every 50th doc
+    probes the index; the Hamming-ball enumeration is pigeonhole-complete,
+    so candidates equal the oracle's all-pairs scan within dist < 5."""
+    lsh = SimHashLSH(ORACLE_SIMHASH)
+    sigs = lsh.signatures(_docs(spark, sf_dir), "doc_id", "text")
+    probes = sigs.where(F.col("id") % 50 == 0)
+    return lsh.query_top_k(sigs, probes, k=3).select(
+        "qid", "id", F.col("dist").cast("long").alias("dist")
+    )
+
+
 def _q_simhash128_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """128-bit SimHash (reference benchmark config family, lsh_bench.rs:
     73-110) as two BIGINT words; md5-window token hashing keeps both words
@@ -379,6 +426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_centroid": _q_minhash_band_centroid,
         "simhash_signature": _q_simhash_signature,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
+        "simhash_hamming_angle_pairs": _q_simhash_hamming_angle_pairs,
+        "simhash_top_k": _q_simhash_top_k,
+        "minhash_dedup_fast": _q_minhash_dedup_fast,
         "simhash128_signature": _q_simhash128_signature,
         "simhash128_hamming_pairs": _q_simhash128_hamming_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -426,17 +476,18 @@ def _sql_bands_cte() -> str:
     return "bands AS (" + " UNION ALL ".join(parts) + ")"
 
 
-def _sql_minhash_pairs() -> str:
+def _sql_minhash_pairs(with_sim: bool = True) -> str:
     k = ORACLE_MINHASH.num_hashes
     eq = " + ".join(
         f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(k)
     )
+    sel = f"p.src, p.dst, round(({eq}) / {k}.0, 6) AS sim" if with_sim else "p.src, p.dst"
     return (
         f"WITH {_sql_tokens_cte()}, {_sql_sig_cte()}, {_sql_bands_cte()}, "
         "pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst "
         "FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key "
         "AND a.doc_id < b.doc_id) "
-        f"SELECT p.src, p.dst, round(({eq}) / {k}.0, 6) AS sim "
+        f"SELECT {sel} "
         "FROM pairs p JOIN sig sa ON p.src = sa.doc_id "
         "JOIN sig sb ON p.dst = sb.doc_id "
         f"WHERE ({eq}) / {k}.0 >= 0.5"
@@ -738,6 +789,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN sig s USING (doc_id)"
         ),
         "minhash_band_pairs": _sql_minhash_pairs(),
+        "minhash_dedup_fast": _sql_minhash_pairs(with_sim=False),
+        "simhash_hamming_angle_pairs": (
+            f"WITH {_sql_simhash_sig()} "
+            "SELECT a.doc_id AS src, b.doc_id AS dst, "
+            "round(bit_count(xor(a.simhash, b.simhash)) * pi() / 32, 6) AS angle "
+            "FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) < 5"
+        ),
+        "simhash_top_k": (
+            f"WITH {_sql_simhash_sig()}, "
+            "cand AS (SELECT a.doc_id AS qid, b.doc_id AS id, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist "
+            "FROM simsig a JOIN simsig b ON a.doc_id % 50 = 0 "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) < 5), "
+            "r AS (SELECT qid, id, dist, row_number() OVER "
+            "(PARTITION BY qid ORDER BY dist ASC, id ASC) AS rn FROM cand) "
+            "SELECT qid, id, dist FROM r WHERE rn <= 3"
+        ),
         "simhash128_signature": (
             f"WITH {_sql_simhash128_sig()} SELECT doc_id, w0, w1 FROM sig128"
         ),
