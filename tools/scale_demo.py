@@ -89,7 +89,7 @@ def main() -> None:
     t_sig = time.time() - t0
 
     t0 = time.time()
-    pairs = mh.dedup_pairs(sigs).select("src", "dst").persist()
+    pairs = mh.dedup_pairs(sigs, keep_sim=False).persist()
     n_pairs = pairs.count()
     t_dedup = time.time() - t0
 
