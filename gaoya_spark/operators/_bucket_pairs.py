@@ -71,9 +71,6 @@ def sid_cross_pairs_from_buckets(
             ).alias("is"),
         )
         .where((F.size("qs") >= 1) & (F.size("is") >= 1))
-        # collapse identical (probe-set, index-set) buckets across bands
-        .groupBy("qs", "is")
-        .agg(F.count("*").alias("nb"))
     )
     if persist:
         buckets = buckets.persist()
@@ -88,10 +85,14 @@ def sid_cross_pairs_from_buckets(
     # (50k x 50k ~ 2.5e9) wraps a 32-bit product negative, sneaking past
     # the small-path filter and building a multi-billion-element array
     cross_n = F.size("qs").cast("long") * F.size("is").cast("long")
+    # small path: emit per bucket instance (nb=1); the identical-set
+    # collapse costs a second full shuffle of every bucket and measured a
+    # net loss (see sid_pairs_from_buckets) — the final groupBy sums m
+    # identically either way
     small = buckets.where(cross_n <= (array_bucket_limit * array_bucket_limit))
-    raw = small.select("nb", F.explode(cross).alias("p")).select(
-        "p.qid", "p.id", "nb"
-    )
+    raw = small.select(
+        F.lit(1).cast("long").alias("nb"), F.explode(cross).alias("p")
+    ).select("p.qid", "p.id", "nb")
     has_hot = (
         persist
         and buckets.where(
@@ -99,18 +100,27 @@ def sid_cross_pairs_from_buckets(
         ).limit(1).count() > 0
     ) or not persist
     if has_hot:
-        # 128-bit bucket identity (two independently-seeded xxhash64 words,
-        # same scheme as the substring gram fingerprints) so an hb collision
-        # can't merge two hot member sets and inflate m
-        hot = buckets.where(
-            (cross_n > (array_bucket_limit * array_bucket_limit))
-            & (F.size("is") <= drop_cap)
-        ).select(
-            F.struct(
-                F.xxhash64("qs", "is").alias("w0"),
-                F.xxhash64("qs", "is", F.lit(1)).alias("w1"),
-            ).alias("hb"),
-            "nb", "qs", "is",
+        # hot path keeps the identical-(probe-set, index-set) collapse —
+        # the boilerplate family that forms the same bucket in every band
+        # is exactly the hot case, and the collapse shuffle now carries
+        # only hot buckets. 128-bit bucket identity (two independently-
+        # seeded xxhash64 words, same scheme as the substring gram
+        # fingerprints) so an hb collision can't merge two hot member sets
+        # and inflate m.
+        hot = (
+            buckets.where(
+                (cross_n > (array_bucket_limit * array_bucket_limit))
+                & (F.size("is") <= drop_cap)
+            )
+            .groupBy("qs", "is")
+            .agg(F.count("*").alias("nb"))
+            .select(
+                F.struct(
+                    F.xxhash64("qs", "is").alias("w0"),
+                    F.xxhash64("qs", "is", F.lit(1)).alias("w1"),
+                ).alias("hb"),
+                "nb", "qs", "is",
+            )
         )
         # bipartite block join: probes replicate to every index group
         left = hot.select(
@@ -137,44 +147,59 @@ def sid_pairs_from_buckets(
         .agg(F.array_sort(F.collect_list("sid")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    # collapse identical member sets: a tight near-dup family co-buckets
-    # the SAME way in many bands, so the same sorted sid array shows up
-    # once per band — generate its pairs once with multiplicity nb instead
-    # of nb times (the doc-family workload drops ~8x in raw pair volume),
-    # and keep m exact via sum(nb).
-    dbuckets = buckets.groupBy("ids").agg(F.count("*").alias("nb"))
     if persist:
-        # dbuckets feed the small path and (maybe) the hot path; the hot
+        # buckets feed the small path and (maybe) the hot path; the hot
         # gate below forces them once, so the gate action is nearly free.
         # No explicit unpersist: once the returned frame is consumed and
         # this reference is GC'd, Spark's ContextCleaner drops the blocks
         # (and LRU eviction handles the interim).
-        dbuckets = dbuckets.persist()
+        buckets = buckets.persist()
+    # small path: emit per bucket instance (nb=1). An identical-member-set
+    # collapse here would dedupe repeats across bands, but costs a second
+    # full shuffle of EVERY bucket keyed by its array — measured a net
+    # loss on both bench fixtures (emission volume per small bucket is
+    # bounded by array_bucket_limit^2 anyway); the final groupBy sums m
+    # identically either way.
     raw = (
-        dbuckets.where(F.size("ids") <= array_bucket_limit)
-        .select("nb", F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        buckets.where(F.size("ids") <= array_bucket_limit)
+        .select(
+            F.lit(1).cast("long").alias("nb"),
+            F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p"),
+        )
         .select("p.src", "p.dst", "nb")
     )
     # skip the hot-path join entirely when no bucket exceeds the limit (the
     # common case for sane configs) — one cheap action on persisted buckets
     has_hot = (
         persist
-        and dbuckets.where(F.size("ids") > array_bucket_limit).limit(1).count() > 0
+        and buckets.where(F.size("ids") > array_bucket_limit).limit(1).count() > 0
     ) or not persist
     if has_hot:
+        # hot path KEEPS the identical-member-set collapse: the web-scale
+        # hot case is boilerplate (thousands of byte-identical docs), whose
+        # family forms the SAME member set in every band — collapsing to
+        # one emission with multiplicity nb cuts the triangle join's
+        # output by num_bands x exactly where it is largest. The collapse
+        # shuffle now only carries hot buckets (rare), not the corpus.
+        # m stays exact via sum(nb).
         # hb = 128-bit hash of the member set (two independently-seeded
         # xxhash64 words): the distinct bucket's identity. A collision here
         # would merge two hot sets and inflate m (breaking the sim >= m/b
         # lower bound), so it gets the same 128-bit treatment as the
         # substring gram fingerprints rather than a single 64-bit word.
-        hot = dbuckets.where(
-            (F.size("ids") > array_bucket_limit) & (F.size("ids") <= drop_cap)
-        ).select(
-            F.struct(
-                F.xxhash64("ids").alias("w0"),
-                F.xxhash64("ids", F.lit(1)).alias("w1"),
-            ).alias("hb"),
-            "nb", F.explode("ids").alias("sid"),
+        hot = (
+            buckets.where(
+                (F.size("ids") > array_bucket_limit) & (F.size("ids") <= drop_cap)
+            )
+            .groupBy("ids")
+            .agg(F.count("*").alias("nb"))
+            .select(
+                F.struct(
+                    F.xxhash64("ids").alias("w0"),
+                    F.xxhash64("ids", F.lit(1)).alias("w1"),
+                ).alias("hb"),
+                "nb", F.explode("ids").alias("sid"),
+            )
         )
         g = F.pmod(F.xxhash64("sid", F.lit(_BLOCK_SALT)), F.lit(block_groups))
         hot_g = hot.withColumn("g", g)
