@@ -335,6 +335,45 @@ def _q_components_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), "component")
 
 
+def _q_components_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 via the alternating large-star/small-star algorithm (Kiveris et
+    al. SoCC'14) — same edges and same oracle as components_ngram, so the
+    O(log n)-round path is held to the identical label contract as label
+    propagation."""
+    from gaoya_spark.operators.text import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    edges = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    labels = connected_components(
+        edges, nodes=docs.select("doc_id"), max_iter=30,
+        driver_threshold=0, algorithm="twophase",
+    )
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+def _q_simhash_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P20 SimHash::create_centroid (sim_hash.rs:57-78): per-bit majority
+    vote over each source-group's signatures, set when ones strictly
+    outnumber half the members."""
+    lsh = SimHashLSH(ORACLE_SIMHASH)
+    docs = _docs(spark, sf_dir)
+    sigs = lsh.signatures(docs, "doc_id", "text").join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    return lsh.centroid(sigs, "source").select("source", "centroid")
+
+
+def _q_minhash_query_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 query_one (minhash_index.rs:542): best match per probe at STRICT
+    sim > threshold, deterministic tie-break by id."""
+    lsh = MinHashLSH(ORACLE_MINHASH)
+    sigs = _minhash_sigs_oracle(spark, sf_dir)
+    probes = sigs.where(F.col("id") % 50 == 0)
+    return lsh.query_one(sigs, probes).select(
+        "qid", "id", F.round("sim", 6).alias("sim")
+    )
+
+
 def _q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 per probe over 1e-3-quantized embeddings
     (integer dot products -> bit-identical across engines)."""
@@ -437,6 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "substring_pairs": _q_substring_pairs,
         "components_ngram": _q_components_ngram,
+        "components_twophase": _q_components_twophase,
+        "simhash_centroid": _q_simhash_centroid,
+        "minhash_query_one": _q_minhash_query_one,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
         "minhash_dedup_keep_first": _q_minhash_dedup_keep_first,
@@ -697,6 +739,37 @@ def _sql_lang_id() -> str:
     )
 
 
+def _sql_query_one(mod: int = 50) -> str:
+    k = ORACLE_MINHASH.num_hashes
+    eq = " + ".join(f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(k))
+    return (
+        f"WITH {_sql_tokens_cte()}, {_sql_sig_cte()}, {_sql_bands_cte()}, "
+        "cand AS (SELECT DISTINCT a.doc_id AS qid, b.doc_id AS id FROM bands a "
+        "JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key "
+        f"WHERE a.doc_id % {mod} = 0), "
+        f"scored AS (SELECT c.qid, c.id, round(({eq}) / {k}.0, 6) AS sim FROM cand c "
+        "JOIN sig sa ON c.qid = sa.doc_id JOIN sig sb ON c.id = sb.doc_id "
+        f"WHERE ({eq}) / {k}.0 > 0.5), "
+        "r AS (SELECT qid, id, sim, row_number() OVER "
+        "(PARTITION BY qid ORDER BY sim DESC, id ASC) AS rn FROM scored) "
+        "SELECT qid, id, sim FROM r WHERE rn = 1"
+    )
+
+
+def _sql_simhash_centroid() -> str:
+    return (
+        f"WITH {_sql_simhash_sig()}, "
+        "ss AS (SELECT d.doc_id, d.source, coalesce(s.simhash, 0) AS sig "
+        "FROM documents d LEFT JOIN simsig s USING (doc_id)), "
+        "bits AS (SELECT source, b.b AS bit, "
+        "sum((sig >> b.b) & 1) AS ones, count(*) AS n "
+        "FROM ss, range(0, 32) AS b(b) GROUP BY source, b.b) "
+        "SELECT source, CAST(sum(CASE WHEN 2 * ones > n "
+        "THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS centroid "
+        "FROM bits GROUP BY source"
+    )
+
+
 def _sql_embedding_topk() -> str:
     return (
         "WITH q AS (SELECT vec_id, list_transform(embedding, "
@@ -765,6 +838,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_centroid": _sql_centroid(),
         "minhash_band_centroid": _sql_band_centroid(),
         "components_ngram": _sql_components(),
+        "components_twophase": _sql_components(),
+        "simhash_centroid": _sql_simhash_centroid(),
+        "minhash_query_one": _sql_query_one(),
         "embedding_cosine_topk": _sql_embedding_topk(),
         "token_count": (
             "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "

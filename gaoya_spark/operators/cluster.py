@@ -81,6 +81,101 @@ def _driver_union_find(spark, edges_pdf, nodes: DataFrame | None, id_type: str) 
     return out
 
 
+def _two_phase_cc(raw: DataFrame, nodes: DataFrame | None, max_iter: int,
+                  checkpoint_fn, checkpoint_every: int):
+    """Alternating large-star / small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    10^12-edge path for graphs whose diameter is NOT small: rounds are
+    O(log n) regardless of diameter, where plain label propagation needs
+    O(diameter) rounds (a 10^6-link chain of near-dups would take 10^6
+    shuffles under propagation, ~20 here).
+
+    Each round is two groupBy(min)+join shuffles over the current edge set,
+    and the edge set only shrinks (toward one star per component), so later
+    rounds are cheaper. Fixpoint test: (count, sum(xxhash64)) checksum of
+    the oriented edge set — one cheap aggregate per round, no driver edge
+    fetch.
+
+    Returns (labels, converged): at fixpoint the edge set is a star forest
+    (v -> component-min), so labels read straight off the edges; the
+    min-aggregate on the way out is exact even on a truncated run (labels
+    then may split components, same contract as the propagation path).
+    """
+    # canonical orientation u > v; self-loops contribute no connectivity
+    e = (
+        raw.where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    # every endpoint must get a label even if its edges collapse away
+    # (or are self-loops); cheap relative to the rounds themselves
+    ids = (
+        nodes.select(F.col(nodes.columns[0]).alias("id"))
+        if nodes is not None
+        else raw.select(F.col("a").alias("id")).unionByName(
+            raw.select(F.col("b").alias("id"))
+        )
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+    prev_sig = None
+    converged = False
+    for it in range(max_iter):
+        # large-star: every node links its LARGER neighbors to its minimum
+        # (m = min over itself and all neighbors)
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .dropDuplicates(["u", "v"])
+        )  # emitted (v, m) has v > u >= m, so orientation u > v is preserved
+        # small-star: every node links its smaller neighbors (and itself)
+        # to the minimum among them
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+        )
+        if checkpoint_fn is not None and (it + 1) % checkpoint_every == 0:
+            ss = checkpoint_fn(ss, it)
+        else:
+            ss = ss.localCheckpoint(eager=True)
+        # xor-fold (not sum) of the row hashes: overflow-free under ANSI
+        # mode and order-insensitive — a standard incremental set checksum
+        chk = ss.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        sig = (chk["n"], chk["h"])
+        e = ss
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components(twophase): no fixpoint after max_iter="
+            f"{max_iter} rounds — labels may split components; raise max_iter",
+            RuntimeWarning,
+        )
+    # star forest: u -> component min (min-agg exact under truncation too)
+    pointed = e.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("id"), "component"
+    )
+    labels = ids.join(pointed, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
+    return labels, converged
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -91,6 +186,7 @@ def connected_components(
     checkpoint_fn=None,
     driver_threshold: int = 2_000_000,
     return_converged: bool = False,
+    algorithm: str = "labelprop",
 ):
     """(id, component) — component = smallest reachable id.
 
@@ -105,10 +201,18 @@ def connected_components(
 
     Edge sets at or below driver_threshold use an exact driver-side
     union-find (tiny-stage scheduling otherwise dominates); larger graphs
-    run iterative smallest-id label propagation, each iteration
-    checkpointed. Set driver_threshold=0 to force the distributed path.
+    run the distributed `algorithm`:
+      - "labelprop" (default): smallest-id label propagation, O(diameter)
+        rounds of one groupBy each — fastest for the dense-blob graphs
+        near-dup dedup produces (diameter is tiny).
+      - "twophase": alternating large-star/small-star (Kiveris et al.),
+        O(log n) rounds of two shuffles — the safe choice when the
+        diameter is unknown or the graph may contain long chains.
+    Set driver_threshold=0 to force the distributed path.
     """
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if algorithm not in ("labelprop", "twophase"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     if driver_threshold > 0:
         # one bounded SHUFFLE-FREE job decides the path AND fetches the
         # edges: pull at most threshold+1 raw edge rows straight from
@@ -122,6 +226,12 @@ def connected_components(
             id_type = dict(raw.dtypes)["a"]
             out = _driver_union_find(spark, probe, nodes, id_type)
             return (out, True) if return_converged else out
+
+    if algorithm == "twophase":
+        labels, converged = _two_phase_cc(
+            raw, nodes, max_iter, checkpoint_fn, checkpoint_every
+        )
+        return (labels, converged) if return_converged else labels
 
     # distributed label propagation: symmetrize + dedup once, persisted
     # across iterations

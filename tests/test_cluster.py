@@ -47,6 +47,57 @@ def test_components_paths_agree(spark):
     assert fast == dist
 
 
+def test_components_twophase_matches_other_paths(spark):
+    """Two-phase (large-star/small-star) must produce identical labels to
+    union-find and label propagation on a random graph with self-loops,
+    duplicate and reversed edges."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 250, size=(500, 2))]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    uf = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    tp = {r["id"]: r["component"]
+          for r in connected_components(
+              df, driver_threshold=0, algorithm="twophase").collect()}
+    assert tp == uf
+
+
+def test_components_twophase_long_chain_converges_fast(spark):
+    """A 200-link path has diameter 200: label propagation needs ~200
+    rounds, two-phase must finish (converged) well inside 15 — the property
+    that makes it the safe 10^12-edge default for unknown-diameter graphs."""
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    labels, converged = connected_components(
+        edges, driver_threshold=0, algorithm="twophase", max_iter=15,
+        return_converged=True,
+    )
+    assert converged is True
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_components_twophase_isolated_and_selfloop(spark):
+    edges = spark.createDataFrame([(1, 2), (7, 7)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    labels = connected_components(
+        edges, nodes=nodes, driver_threshold=0, algorithm="twophase"
+    )
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    # nodes frame wins: 0-4 all labeled; self-loop node 7 not in nodes
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4}
+    # without a nodes frame, every edge endpoint (incl. the self-loop node)
+    # still gets a label
+    labels2 = connected_components(
+        edges, driver_threshold=0, algorithm="twophase"
+    )
+    got2 = {r["id"]: r["component"] for r in labels2.collect()}
+    assert got2 == {1: 1, 2: 1, 7: 7}
+
+
 def test_components_isolated_nodes(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")

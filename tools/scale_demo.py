@@ -98,6 +98,19 @@ def main() -> None:
     n_labeled = labels.count()
     t_cc = time.time() - t0
 
+    # same edges through the O(log n)-round two-phase algorithm — the safe
+    # 10^12-edge path when diameter is unknown; labels must agree exactly
+    t0 = time.time()
+    labels_tp = connected_components(
+        pairs, max_iter=20, driver_threshold=0, algorithm="twophase"
+    )
+    n_labeled_tp = labels_tp.count()
+    t_cc_tp = time.time() - t0
+    n_disagree = (
+        labels.join(labels_tp.withColumnRenamed("component", "c2"), "id")
+        .where("component <> c2").count()
+    )
+
     truth = spark.read.parquet(truth_path).withColumnRenamed("image_id", "id")
     recall = duplicate_pair_recall(labels, truth)
 
@@ -109,7 +122,10 @@ def main() -> None:
         "dedup_sec": round(t_dedup, 1),
         "dup_pairs": n_pairs,
         "cc_sec_distributed": round(t_cc, 1),
+        "cc_sec_twophase": round(t_cc_tp, 1),
+        "cc_twophase_disagreements": n_disagree,
         "labeled": n_labeled,
+        "labeled_twophase": n_labeled_tp,
         "dup_pair_recall": round(recall, 4),
         "cpus": CPUS,
     }))
