@@ -92,7 +92,7 @@ def _two_phase_cc(raw: DataFrame, nodes: DataFrame | None, max_iter: int,
 
     Each round is two groupBy(min)+join shuffles over the current edge set,
     and the edge set only shrinks (toward one star per component), so later
-    rounds are cheaper. Fixpoint test: (count, sum(xxhash64)) checksum of
+    rounds are cheaper. Fixpoint test: (count, xor-of-xxhash64) checksum of
     the oriented edge set — one cheap aggregate per round, no driver edge
     fetch.
 

@@ -61,6 +61,9 @@ class PipelineConfig:
     min_cluster_size: int = 2
     max_bucket_size: int = 256
     bucket_cap_hard: int = 100_000
+    # "labelprop" (O(diameter) rounds — near-dup blobs) or "twophase"
+    # (large-star/small-star, O(log n) rounds — unknown-diameter graphs)
+    cluster_algorithm: str = "labelprop"
     id_col: str = "image_id"
     caption_col: str = "caption"
     phash_col: str | None = "phash"
@@ -134,7 +137,10 @@ class DedupPipeline:
                 self.wh.write(df, f"labels_iter_{it}")
                 return self.wh.read(f"labels_iter_{it}")
 
-            return connected_components(edges, nodes=ids, checkpoint_fn=ckpt)
+            return connected_components(
+                edges, nodes=ids, checkpoint_fn=ckpt,
+                algorithm=c.cluster_algorithm,
+            )
 
         labels = self._stage("labels", build_labels, force)
         clusters = self._stage(

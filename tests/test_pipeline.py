@@ -34,6 +34,23 @@ def test_pipeline_recall_gate(spark, images, tmp_path_factory):
     assert clusters.where("cluster_size >= 2").count() > 0
 
 
+def test_pipeline_twophase_clustering_same_labels(spark, images, tmp_path_factory):
+    """cluster_algorithm='twophase' must yield the exact same labels table
+    as the default label propagation (checkpointed through the warehouse
+    either way)."""
+    df, truth = images
+    wh_a = str(tmp_path_factory.mktemp("wh_lp"))
+    wh_b = str(tmp_path_factory.mktemp("wh_tp"))
+    DedupPipeline(spark, wh_a).run(df)
+    cfg = PipelineConfig(cluster_algorithm="twophase")
+    DedupPipeline(spark, wh_b, cfg).run(df)
+    la = DedupPipeline(spark, wh_a).wh.read("labels")
+    lb = DedupPipeline(spark, wh_b, cfg).wh.read("labels")
+    a = {(r["id"], r["component"]) for r in la.select("id", "component").collect()}
+    b = {(r["id"], r["component"]) for r in lb.select("id", "component").collect()}
+    assert a == b
+
+
 def test_pipeline_precision_sanity(spark, images, tmp_path_factory):
     """Not a gaoya gate, but guard against everything collapsing into one
     blob: predicted duplicate pairs should be mostly true pairs."""
