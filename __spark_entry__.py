@@ -403,6 +403,60 @@ def _q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CENT_IDS = [1, 7, 13, 19]
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with pretrained centroids over 1e-3-quantized embeddings:
+    each vector is assigned to its max-affinity centroid (integer dots —
+    exact across engines; ties -> lowest cell), probes search their 2
+    nearest cells, exact cosine reranks top-3. Centroids are the quantized
+    embeddings of four fixed rows, so the whole path is SQL-expressible."""
+    import numpy as np
+
+    from gaoya_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000).cast("long").cast("double"),
+        ).alias("qv"),
+    )
+    cent_rows = (
+        q.where(F.col("vec_id").isin(_IVF_CENT_IDS)).orderBy("vec_id").collect()
+    )
+    cent = np.array([r["qv"] for r in cent_rows], dtype=np.float64)
+    probes = q.where(F.col("vec_id") % 25 == 0)
+    return ivf_topk(
+        q, "vec_id", "qv", k=3, nprobe=2, probes=probes, centroids=cent
+    )
+
+
+def _sql_ivf_topk() -> str:
+    ids = ", ".join(str(i) for i in _IVF_CENT_IDS)
+    return (
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)::DOUBLE) AS qv FROM embeddings), "
+        f"c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, qv AS cv "
+        f"FROM q WHERE vec_id IN ({ids})), "
+        "a AS (SELECT q.vec_id, c.cidx, list_dot_product(q.qv, c.cv) AS aff FROM q, c), "
+        "r AS (SELECT vec_id, cidx, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY aff DESC, cidx ASC) AS rn FROM a), "
+        "cell AS (SELECT vec_id, cidx AS cell FROM r WHERE rn = 1), "
+        "pcell AS (SELECT vec_id, cidx AS cell FROM r WHERE rn <= 2 AND vec_id % 25 = 0), "
+        "s AS (SELECT p.vec_id AS qid, x.vec_id AS id, "
+        "list_dot_product(qp.qv, qx.qv) / "
+        "(sqrt(list_dot_product(qp.qv, qp.qv)) * sqrt(list_dot_product(qx.qv, qx.qv))) AS cos "
+        "FROM pcell p JOIN cell x ON p.cell = x.cell AND p.vec_id <> x.vec_id "
+        "JOIN q qp ON qp.vec_id = p.vec_id JOIN q qx ON qx.vec_id = x.vec_id), "
+        "rr AS (SELECT qid, id, cos, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, id ASC) AS rn FROM s) "
+        "SELECT qid, id, round(cos, 6) AS cosine FROM rr WHERE rn <= 3"
+    )
+
+
 def _q_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gaoya_spark.operators.text import bpe_token_estimate
 
@@ -480,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_centroid": _q_simhash_centroid,
         "minhash_query_one": _q_minhash_query_one,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
+        "embedding_ivf_topk": _q_ivf_topk,
         "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
         "minhash_dedup_keep_first": _q_minhash_dedup_keep_first,
         "bpe_token_estimate": _q_bpe_token_estimate,
@@ -842,6 +897,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_centroid": _sql_simhash_centroid(),
         "minhash_query_one": _sql_query_one(),
         "embedding_cosine_topk": _sql_embedding_topk(),
+        "embedding_ivf_topk": _sql_ivf_topk(),
         "token_count": (
             "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
             "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents"

@@ -10,12 +10,15 @@ One groupBy materializes buckets as sorted sid arrays; pair generation for
 buckets <= array_bucket_limit is JVM array combinatorics fused into the
 same stage (no self-join, no dropDuplicates — measured 2.5x faster than
 the former sizes-groupBy + broadcast-tag + self-join + dropDuplicates plan
-at both local[8] and local[32]). Hot buckets (rare by construction) are
-exploded back to rows and triangle-blocked via an equi-join, which spreads
-one bucket's pair generation across block_groups reducers; buckets beyond
-drop_cap (the all-identical-key pathology at 10^12 scale) are excluded —
-callers record the count via their stats helpers (band_stats /
-gram_stats), never silently.
+at both local[8] and local[32]). Over-limit buckets are first collapsed by
+identical member set (boilerplate families repeat the same bucket in every
+band — one emission with multiplicity nb); distinct sets up to
+medium_bucket_limit then use the same array combinatorics, and only
+genuinely huge buckets are exploded back to rows and triangle-blocked via
+an equi-join, which spreads one bucket's pair generation across
+block_groups reducers. Buckets beyond drop_cap (the all-identical-key
+pathology at 10^12 scale) are excluded — callers record the count via
+their stats helpers (band_stats / gram_stats), never silently.
 """
 
 from __future__ import annotations
@@ -46,6 +49,7 @@ def sid_cross_pairs_from_buckets(
     drop_cap: int = 100_000,
     block_groups: int = 16,
     persist: bool = True,
+    medium_bucket_limit: int = 1024,
 ) -> DataFrame:
     """(qid, id, m) probe-vs-index candidates from two (bk, sid) membership
     frames — the cross (bipartite) variant of sid_pairs_from_buckets for
@@ -100,37 +104,55 @@ def sid_cross_pairs_from_buckets(
         ).limit(1).count() > 0
     ) or not persist
     if has_hot:
-        # hot path keeps the identical-(probe-set, index-set) collapse —
+        # upper tiers keep the identical-(probe-set, index-set) collapse —
         # the boilerplate family that forms the same bucket in every band
         # is exactly the hot case, and the collapse shuffle now carries
-        # only hot buckets. 128-bit bucket identity (two independently-
-        # seeded xxhash64 words, same scheme as the substring gram
-        # fingerprints) so an hb collision can't merge two hot member sets
-        # and inflate m.
-        hot = (
+        # only over-limit buckets. 128-bit bucket identity (two
+        # independently-seeded xxhash64 words, same scheme as the
+        # substring gram fingerprints) so an hb collision can't merge two
+        # hot member sets and inflate m.
+        collapsed = (
             buckets.where(
                 (cross_n > (array_bucket_limit * array_bucket_limit))
                 & (F.size("is") <= drop_cap)
             )
             .groupBy("qs", "is")
             .agg(F.count("*").alias("nb"))
-            .select(
+        )
+        if persist:
+            collapsed = collapsed.persist()
+        # medium tier: collapsed products small enough for single-row
+        # cross generation — skips the block join's extra shuffles.
+        # Halved vs medium^2 so the worst-case per-row array matches the
+        # symmetric variant's C(medium, 2) bound.
+        med_cap = (medium_bucket_limit * medium_bucket_limit) // 2
+        raw = raw.unionByName(
+            collapsed.where(cross_n <= med_cap)
+            .select("nb", F.explode(cross).alias("p"))
+            .select("p.qid", "p.id", "nb")
+        )
+        has_huge = (
+            persist and collapsed.where(cross_n > med_cap).limit(1).count() > 0
+        ) or not persist
+        if has_huge:
+            hot = collapsed.where(cross_n > med_cap).select(
                 F.struct(
                     F.xxhash64("qs", "is").alias("w0"),
                     F.xxhash64("qs", "is", F.lit(1)).alias("w1"),
                 ).alias("hb"),
                 "nb", "qs", "is",
             )
-        )
-        # bipartite block join: probes replicate to every index group
-        left = hot.select(
-            "hb", "nb", F.explode("qs").alias("qid")
-        ).withColumn("g2", F.explode(F.sequence(F.lit(0), F.lit(block_groups - 1))))
-        right = hot.select("hb", F.explode("is").alias("id")).withColumn(
-            "g2", F.pmod(F.xxhash64("id", F.lit(_BLOCK_SALT)), F.lit(block_groups))
-        )
-        pairs_hot = left.join(right, ["hb", "g2"]).select("qid", "id", "nb")
-        raw = raw.unionByName(pairs_hot)
+            # bipartite block join: probes replicate to every index group
+            left = hot.select(
+                "hb", "nb", F.explode("qs").alias("qid")
+            ).withColumn(
+                "g2", F.explode(F.sequence(F.lit(0), F.lit(block_groups - 1)))
+            )
+            right = hot.select("hb", F.explode("is").alias("id")).withColumn(
+                "g2", F.pmod(F.xxhash64("id", F.lit(_BLOCK_SALT)), F.lit(block_groups))
+            )
+            pairs_hot = left.join(right, ["hb", "g2"]).select("qid", "id", "nb")
+            raw = raw.unionByName(pairs_hot)
     return raw.groupBy("qid", "id").agg(F.sum("nb").alias("m"))
 
 
@@ -140,26 +162,39 @@ def sid_pairs_from_buckets(
     drop_cap: int = 100_000,
     block_groups: int = 16,
     persist: bool = True,
+    medium_bucket_limit: int = 1024,
 ) -> DataFrame:
-    """(src, dst, m) candidate pairs from (bk, sid) membership rows."""
+    """(src, dst, m) candidate pairs from (bk, sid) membership rows.
+
+    Three size tiers (measured on the dense sf0.1 document corpus, whose
+    52 over-256 buckets emit 13.7M raw pairs):
+      - <= array_bucket_limit: direct JVM array pair-gen per bucket
+        instance (no collapse — a collapse shuffle of EVERY bucket
+        measured a net loss; per-bucket emission is bounded anyway).
+      - <= medium_bucket_limit: identical-member-set collapse (boilerplate
+        families form the same bucket in every band; one emission with
+        multiplicity nb), then the SAME array pair-gen on the distinct
+        sets — the collapse shuffle carries only over-limit buckets, and
+        skipping the triangle join's two extra shuffles measured ~20%
+        off the dense-corpus dedup stage. Worst-case per-row array:
+        C(1024,2) structs ~ 8 MB, safely inside executor task memory.
+      - <= drop_cap: collapse + triangle blocking across block_groups
+        reducers — bounded per-task work for genuinely huge buckets.
+      - > drop_cap: excluded; callers record the count via their stats
+        helpers (band_stats / gram_stats), never silently.
+    """
     buckets = (
         members.groupBy("bk")
         .agg(F.array_sort(F.collect_list("sid")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
     if persist:
-        # buckets feed the small path and (maybe) the hot path; the hot
-        # gate below forces them once, so the gate action is nearly free.
-        # No explicit unpersist: once the returned frame is consumed and
-        # this reference is GC'd, Spark's ContextCleaner drops the blocks
-        # (and LRU eviction handles the interim).
+        # buckets feed the small path and (maybe) the upper tiers; the
+        # tier gate below forces them once, so the gate action is nearly
+        # free. No explicit unpersist: once the returned frame is consumed
+        # and this reference is GC'd, Spark's ContextCleaner drops the
+        # blocks (and LRU eviction handles the interim).
         buckets = buckets.persist()
-    # small path: emit per bucket instance (nb=1). An identical-member-set
-    # collapse here would dedupe repeats across bands, but costs a second
-    # full shuffle of EVERY bucket keyed by its array — measured a net
-    # loss on both bench fixtures (emission volume per small bucket is
-    # bounded by array_bucket_limit^2 anyway); the final groupBy sums m
-    # identically either way.
     raw = (
         buckets.where(F.size("ids") <= array_bucket_limit)
         .select(
@@ -168,31 +203,46 @@ def sid_pairs_from_buckets(
         )
         .select("p.src", "p.dst", "nb")
     )
-    # skip the hot-path join entirely when no bucket exceeds the limit (the
+    # skip the upper tiers entirely when no bucket exceeds the limit (the
     # common case for sane configs) — one cheap action on persisted buckets
     has_hot = (
         persist
         and buckets.where(F.size("ids") > array_bucket_limit).limit(1).count() > 0
     ) or not persist
     if has_hot:
-        # hot path KEEPS the identical-member-set collapse: the web-scale
-        # hot case is boilerplate (thousands of byte-identical docs), whose
-        # family forms the SAME member set in every band — collapsing to
-        # one emission with multiplicity nb cuts the triangle join's
-        # output by num_bands x exactly where it is largest. The collapse
-        # shuffle now only carries hot buckets (rare), not the corpus.
+        # both upper tiers share the identical-member-set collapse:
         # m stays exact via sum(nb).
         # hb = 128-bit hash of the member set (two independently-seeded
         # xxhash64 words): the distinct bucket's identity. A collision here
         # would merge two hot sets and inflate m (breaking the sim >= m/b
         # lower bound), so it gets the same 128-bit treatment as the
         # substring gram fingerprints rather than a single 64-bit word.
-        hot = (
+        collapsed = (
             buckets.where(
                 (F.size("ids") > array_bucket_limit) & (F.size("ids") <= drop_cap)
             )
             .groupBy("ids")
             .agg(F.count("*").alias("nb"))
+        )
+        if persist:
+            collapsed = collapsed.persist()
+        # medium tier: distinct sets small enough for single-row pair-gen
+        raw = raw.unionByName(
+            collapsed.where(F.size("ids") <= medium_bucket_limit)
+            .select(
+                "nb", F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p")
+            )
+            .select("p.src", "p.dst", "nb")
+        )
+        has_huge = (
+            persist
+            and collapsed.where(F.size("ids") > medium_bucket_limit)
+            .limit(1).count() > 0
+        ) or not persist
+        if not has_huge:
+            return raw.groupBy("src", "dst").agg(F.sum("nb").alias("m"))
+        hot = (
+            collapsed.where(F.size("ids") > medium_bucket_limit)
             .select(
                 F.struct(
                     F.xxhash64("ids").alias("w0"),

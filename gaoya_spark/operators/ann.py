@@ -181,26 +181,40 @@ def ivf_topk(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, n_cells: int = 16, nprobe: int = 3, seed: int = 23,
     sample_limit: int = 50_000, probes: DataFrame | None = None,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF ANN: sampled k-means centroids (broadcast) -> each vector assigned
     to its nearest cell -> probes search their nprobe nearest cells ->
     exact cosine rerank. The cross join of the brute-force path becomes an
     equi-join on cell id — the 10^12-scale strategy (candidates shrink by
-    ~n_cells/nprobe)."""
-    # seeded RANDOM sample for the centroid fit — limit() would take the
-    # first partitions, biasing centroids on sorted/clustered-by-ingest data
-    n_rows = df.count()
-    frac = min(1.0, (sample_limit * 1.2) / max(n_rows, 1))
-    sample_pdf = (
-        df.select(vec_col)
-        .sample(fraction=frac, seed=seed)
-        .limit(sample_limit)
-        .toPandas()
-    )
-    sample = np.array([np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]])
-    norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    norms[norms == 0] = 1
-    cent = _kmeans_fit(sample / norms, n_cells, seed)
+    ~n_cells/nprobe).
+
+    centroids: optional pretrained (n_cells x dim) array — the standard
+    at-scale workflow (fit once on a sample, reuse across runs/partitions);
+    skips the sampling + k-means fit. Assignment ranks by affinity to the
+    centroids AS GIVEN (cosine argmax is invariant to the data vector's
+    norm, so unnormalized centroids simply weight cells by their length —
+    pass unit vectors for pure cosine cells)."""
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        # seeded RANDOM sample for the centroid fit — limit() would take
+        # the first partitions, biasing centroids on sorted/clustered-by-
+        # ingest data
+        n_rows = df.count()
+        frac = min(1.0, (sample_limit * 1.2) / max(n_rows, 1))
+        sample_pdf = (
+            df.select(vec_col)
+            .sample(fraction=frac, seed=seed)
+            .limit(sample_limit)
+            .toPandas()
+        )
+        sample = np.array(
+            [np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]]
+        )
+        norms = np.linalg.norm(sample, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        cent = _kmeans_fit(sample / norms, n_cells, seed)
 
     def _assign_udf(n_take: int):
         @F.pandas_udf("array<int>")
@@ -213,7 +227,9 @@ def ivf_topk(
                 n = np.linalg.norm(m, axis=1, keepdims=True)
                 n[n == 0] = 1
                 aff = (m / n) @ cent.T
-                order = np.argsort(-aff, axis=1)[:, :n_take].astype(np.int32)
+                # stable: exact affinity ties resolve to the lower cell
+                # index deterministically (cross-engine reproducible)
+                order = np.argsort(-aff, axis=1, kind="stable")[:, :n_take].astype(np.int32)
                 yield pd.Series(list(order))
 
         return assign

@@ -10,7 +10,10 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from gaoya_spark.operators._bucket_pairs import sid_pairs_from_buckets
+from gaoya_spark.operators._bucket_pairs import (
+    sid_cross_pairs_from_buckets,
+    sid_pairs_from_buckets,
+)
 
 
 def _expected(members, drop_cap):
@@ -26,8 +29,11 @@ def _expected(members, drop_cap):
     return dict(m)
 
 
+# medium_bucket_limit routes the size-20/30 buckets into all three tiers:
+# 1024 -> medium (collapse + array), 12 -> mixed, 8 -> triangle-only
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_sid_pairs_match_naive_enumeration(spark, seed):
+@pytest.mark.parametrize("medium", [8, 12, 1024])
+def test_sid_pairs_match_naive_enumeration(spark, seed, medium):
     rng = np.random.default_rng(seed)
     n_buckets, n_sids = 30, 40
     members = set()
@@ -45,10 +51,60 @@ def test_sid_pairs_match_naive_enumeration(spark, seed):
     got = {
         (r["src"], r["dst"]): r["m"]
         for r in sid_pairs_from_buckets(
-            df, array_bucket_limit=8, drop_cap=25, block_groups=4
+            df, array_bucket_limit=8, drop_cap=25, block_groups=4,
+            medium_bucket_limit=medium,
         ).collect()
     }
     assert got == _expected(members, drop_cap=25)
+
+
+def _expected_cross(probes, index, drop_cap, limit_sq):
+    by_bk_p, by_bk_i = {}, {}
+    for bk, sid in probes:
+        by_bk_p.setdefault(bk, set()).add(sid)
+    for bk, sid in index:
+        by_bk_i.setdefault(bk, set()).add(sid)
+    m = Counter()
+    for bk in by_bk_p.keys() & by_bk_i.keys():
+        qs, is_ = by_bk_p[bk], by_bk_i[bk]
+        if len(qs) * len(is_) > limit_sq and len(is_) > drop_cap:
+            continue
+        for q in qs:
+            for i in is_:
+                m[(q, i)] += 1
+    return dict(m)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("medium", [4, 1024])
+def test_sid_cross_pairs_match_naive_enumeration(spark, seed, medium):
+    """Bipartite variant across all three tiers (small product, collapsed
+    medium, block-joined hot) + the index-side drop cap."""
+    rng = np.random.default_rng(seed)
+    probes, index = set(), set()
+    for bk in range(20):
+        for sid in rng.choice(30, size=int(rng.integers(0, 5)), replace=False):
+            probes.add((bk, int(sid)))
+        for sid in rng.choice(30, size=int(rng.integers(0, 8)), replace=False):
+            index.add((bk, int(sid)))
+    # hot product bucket (5 probes x 12 index = 60 > 4^2) and a dropped one
+    for sid in range(5):
+        probes.add((100, sid))
+        probes.add((101, sid))
+    for sid in range(12):
+        index.add((100, sid))
+    for sid in range(20):
+        index.add((101, sid))
+    pdf = spark.createDataFrame(sorted(probes), "bk long, sid long")
+    idf = spark.createDataFrame(sorted(index), "bk long, sid long")
+    got = {
+        (r["qid"], r["id"]): r["m"]
+        for r in sid_cross_pairs_from_buckets(
+            pdf, idf, array_bucket_limit=4, drop_cap=15, block_groups=4,
+            medium_bucket_limit=medium,
+        ).collect()
+    }
+    assert got == _expected_cross(probes, index, drop_cap=15, limit_sq=16)
 
 
 def test_band_stats_hot_dropped_counts(spark):
