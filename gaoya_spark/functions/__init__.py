@@ -6,7 +6,11 @@ from gaoya_spark.functions.signatures import (
 )
 from gaoya_spark.functions.similarity import (
     minhash_similarity_col,
+    minhash_similarity_packed,
+    minhash_eq_count_packed,
+    pack_signature_col,
     hamming_distance_col,
+    hamming_angle_col,
     jaccard_col,
 )
 
@@ -16,6 +20,10 @@ __all__ = [
     "make_minhash_tokens_udf",
     "make_simhash_tokens_udf",
     "minhash_similarity_col",
+    "minhash_similarity_packed",
+    "minhash_eq_count_packed",
+    "pack_signature_col",
     "hamming_distance_col",
+    "hamming_angle_col",
     "jaccard_col",
 ]

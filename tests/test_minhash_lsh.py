@@ -241,3 +241,40 @@ def test_query_sorted_by_similarity(spark, corpus5):
     sims = [r["sim"] for r in rows]
     assert sims == sorted(sims, reverse=True)
     assert rows[0]["id"] == 0 and rows[0]["sim"] == 1.0
+
+
+def test_packed_verify_matches_unpacked(spark):
+    """pack_signature_col + minhash_eq_count_packed must count exactly the
+    same equal positions as the unpacked zip_with expression — including
+    odd k (phantom tail half) and u32 values with the high bit set (stored
+    as negative int32)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gaoya_spark.functions.similarity import (
+        minhash_eq_count_packed,
+        minhash_similarity_col,
+        pack_signature_col,
+    )
+
+    rng = np.random.default_rng(5)
+    for k in (7, 8, 200, 201):
+        # u32 range incl. > 2^31 (negative as int32); force some equalities
+        a = rng.integers(0, 2**32, size=k, dtype=np.uint64)
+        b = a.copy()
+        flip = rng.random(k) < 0.5
+        b[flip] = rng.integers(0, 2**32, size=int(flip.sum()), dtype=np.uint64)
+        expected = int((a == b).sum())
+        to_i32 = lambda v: [int(x) - (1 << 32) if x >= 1 << 31 else int(x) for x in v]
+        df = spark.createDataFrame(
+            [(to_i32(a), to_i32(b))], "sa array<int>, sb array<int>"
+        )
+        row = df.select(
+            minhash_eq_count_packed(
+                pack_signature_col(F.col("sa"), k),
+                pack_signature_col(F.col("sb"), k),
+                k,
+            ).alias("packed"),
+            (minhash_similarity_col("sa", "sb", k) * k).cast("int").alias("unpacked"),
+        ).collect()[0]
+        assert row["packed"] == expected == row["unpacked"], (k, row, expected)
