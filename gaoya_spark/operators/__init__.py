@@ -23,12 +23,14 @@ from gaoya_spark.operators.text import (
     token_count,
 )
 from gaoya_spark.operators.ann import brute_force_topk, ivf_topk, rp_lsh_topk
+from gaoya_spark.operators.star_cluster import star_clusters
 
 __all__ = [
     "MinHashLSH",
     "SimHashLSH",
     "connected_components",
     "clusters_from_labels",
+    "star_clusters",
     "duplicate_pair_recall",
     "exact_dedup",
     "exact_dup_pairs",
