@@ -92,10 +92,14 @@ def star_clusters(
         adj = sym.join(
             centers.select(F.col("c").alias("a"), "cd"), "a"
         ).select(F.col("b").alias("id"), F.col("a").alias("c"), "cd")
+        # argmax by (cd desc, c asc) in two type-agnostic steps — a struct
+        # max with a negated id would break on string ids, and near-dup
+        # corpora use string ids (the input_hint's image_id)
+        mcd = adj.groupBy("id").agg(F.max("cd").alias("cd"))
         best = (
-            adj.groupBy("id")
-            .agg(F.max(F.struct(F.col("cd"), (-F.col("c")).alias("nc"))).alias("w"))
-            .select("id", (-F.col("w.nc")).alias("center"))
+            adj.join(mcd, ["id", "cd"])
+            .groupBy("id")
+            .agg(F.min("c").alias("center"))
         )
         # cancellation: a center that lost shared neighbors to
         # higher-priority centers may end up under min size — the

@@ -76,6 +76,19 @@ def test_random_graph_invariants_and_coverage(spark, seed):
     assert abs(len(got) - len(want)) <= max(3, n // 20)
 
 
+def test_string_ids(spark):
+    """input_hint ids are strings — the whole path must work without
+    numeric id tricks (tie-breaks fall back to the id type's natural
+    ordering)."""
+    edges = {("img_c", "img_a"), ("img_c", "img_b"), ("img_x", "img_y")}
+    df = spark.createDataFrame(sorted(edges), "src string, dst string")
+    got = {r["id"]: r["center"] for r in star_clusters(df, min_cluster_size=2).collect()}
+    assert got == {
+        "img_a": "img_c", "img_b": "img_c", "img_c": "img_c",
+        "img_x": "img_x", "img_y": "img_x",
+    }
+
+
 def test_cancellation_keeps_undersized_centers_unassigned_round(spark):
     """Two would-be centers sharing all but one neighbor: the higher-
     priority center claims the shared nodes; the lower one must not emit

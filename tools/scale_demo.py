@@ -111,6 +111,16 @@ def main() -> None:
         .where("component <> c2").count()
     )
 
+    # greedy-star shapes at scale (local-dominance peeling) — the
+    # reference's C1-C3 family; every member must be edge-adjacent to its
+    # center, so count is a lower bound on CC coverage
+    from gaoya_spark.operators.star_cluster import star_clusters
+
+    t0 = time.time()
+    stars = star_clusters(pairs, min_cluster_size=2)
+    n_starred = stars.count()
+    t_star = time.time() - t0
+
     truth = spark.read.parquet(truth_path).withColumnRenamed("image_id", "id")
     recall = duplicate_pair_recall(labels, truth)
 
@@ -126,6 +136,8 @@ def main() -> None:
         "cc_twophase_disagreements": n_disagree,
         "labeled": n_labeled,
         "labeled_twophase": n_labeled_tp,
+        "star_sec": round(t_star, 1),
+        "starred": n_starred,
         "dup_pair_recall": round(recall, 4),
         "cpus": CPUS,
     }))
