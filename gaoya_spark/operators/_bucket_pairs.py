@@ -97,12 +97,20 @@ def sid_cross_pairs_from_buckets(
     raw = small.select(
         F.lit(1).cast("long").alias("nb"), F.explode(cross).alias("p")
     ).select("p.qid", "p.id", "nb")
-    has_hot = (
-        persist
-        and buckets.where(
-            cross_n > (array_bucket_limit * array_bucket_limit)
-        ).limit(1).count() > 0
-    ) or not persist
+    # halved vs medium^2 so the worst-case per-row cross array matches the
+    # symmetric variant's C(medium, 2) bound
+    med_cap = (medium_bucket_limit * medium_bucket_limit) // 2
+    lim_sq = array_bucket_limit * array_bucket_limit
+    if persist:
+        droppable = F.size("is") <= drop_cap
+        st = buckets.agg(
+            F.sum(((cross_n > lim_sq) & droppable).cast("int")).alias("n_over"),
+            F.sum(((cross_n > med_cap) & droppable).cast("int")).alias("n_tri"),
+        ).collect()[0]
+        has_hot = (st["n_over"] or 0) > 0
+        has_huge = (st["n_tri"] or 0) > 0
+    else:
+        has_hot = has_huge = True
     if has_hot:
         # upper tiers keep the identical-(probe-set, index-set) collapse —
         # the boilerplate family that forms the same bucket in every band
@@ -119,21 +127,15 @@ def sid_cross_pairs_from_buckets(
             .groupBy("qs", "is")
             .agg(F.count("*").alias("nb"))
         )
-        if persist:
+        if persist and has_huge:
             collapsed = collapsed.persist()
         # medium tier: collapsed products small enough for single-row
-        # cross generation — skips the block join's extra shuffles.
-        # Halved vs medium^2 so the worst-case per-row array matches the
-        # symmetric variant's C(medium, 2) bound.
-        med_cap = (medium_bucket_limit * medium_bucket_limit) // 2
+        # cross generation — skips the block join's extra shuffles
         raw = raw.unionByName(
             collapsed.where(cross_n <= med_cap)
             .select("nb", F.explode(cross).alias("p"))
             .select("p.qid", "p.id", "nb")
         )
-        has_huge = (
-            persist and collapsed.where(cross_n > med_cap).limit(1).count() > 0
-        ) or not persist
         if has_huge:
             hot = collapsed.where(cross_n > med_cap).select(
                 F.struct(
@@ -203,12 +205,19 @@ def sid_pairs_from_buckets(
         )
         .select("p.src", "p.dst", "nb")
     )
-    # skip the upper tiers entirely when no bucket exceeds the limit (the
-    # common case for sane configs) — one cheap action on persisted buckets
-    has_hot = (
-        persist
-        and buckets.where(F.size("ids") > array_bucket_limit).limit(1).count() > 0
-    ) or not persist
+    # one stats pass over the persisted buckets gates BOTH upper tiers
+    # (the common sane-config case skips them entirely); without persist
+    # the gates conservatively run every tier
+    if persist:
+        sz = F.size("ids")
+        st = buckets.agg(
+            F.sum(((sz > array_bucket_limit) & (sz <= drop_cap)).cast("int")).alias("n_over"),
+            F.sum(((sz > medium_bucket_limit) & (sz <= drop_cap)).cast("int")).alias("n_tri"),
+        ).collect()[0]
+        has_hot = (st["n_over"] or 0) > 0
+        has_huge = (st["n_tri"] or 0) > 0
+    else:
+        has_hot = has_huge = True
     if has_hot:
         # both upper tiers share the identical-member-set collapse:
         # m stays exact via sum(nb).
@@ -224,7 +233,9 @@ def sid_pairs_from_buckets(
             .groupBy("ids")
             .agg(F.count("*").alias("nb"))
         )
-        if persist:
+        if persist and has_huge:
+            # both tiers read collapsed; with no triangle tier it is
+            # consumed once and caching would only cost memory
             collapsed = collapsed.persist()
         # medium tier: distinct sets small enough for single-row pair-gen
         raw = raw.unionByName(
@@ -234,11 +245,6 @@ def sid_pairs_from_buckets(
             )
             .select("p.src", "p.dst", "nb")
         )
-        has_huge = (
-            persist
-            and collapsed.where(F.size("ids") > medium_bucket_limit)
-            .limit(1).count() > 0
-        ) or not persist
         if not has_huge:
             return raw.groupBy("src", "dst").agg(F.sum("nb").alias("m"))
         hot = (

@@ -41,6 +41,11 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", action="store_true",
                     help="resume from the stage manifest (default: force rerun)")
     ap.add_argument("--min-cluster-size", type=int, default=2)
+    ap.add_argument("--cluster-algorithm", choices=["labelprop", "twophase"],
+                    default="labelprop",
+                    help="distributed CC algorithm: labelprop (O(diameter) "
+                         "rounds) or twophase large-star/small-star "
+                         "(O(log n) rounds, safe for unknown diameters)")
     ap.add_argument("--no-simhash", action="store_true")
     ap.add_argument("--substring", action="store_true")
     ap.add_argument("--check-invariants", action="store_true")
@@ -55,6 +60,7 @@ def main(argv=None) -> int:
         use_simhash=not args.no_simhash,
         use_substring=args.substring,
         min_cluster_size=args.min_cluster_size,
+        cluster_algorithm=args.cluster_algorithm,
     )
     images = spark.read.parquet(args.input)
     pipe = DedupPipeline(spark, args.warehouse, cfg)
