@@ -506,6 +506,121 @@ def _q_embedding_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_star_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-C3 distributed greedy-star clustering (clusterer_parallel.rs:
+    165-291) on a structured deterministic fixture: doc_ids partition into
+    12-member families (f = doc_id // 12, idx = doc_id % 12; only complete
+    families participate). Within a family, idx 0 hubs a 5-spoke star
+    (idx 2-6) plus a bridge (idx 7); idx 1 hubs a 3-spoke star (idx 8-10)
+    and also touches the bridge; idx 11 is isolated (the unassigned
+    remainder). Degrees are 6 (hub A), 4 (hub B), 2 (bridge), 1 (spokes):
+    both hubs are locally dominant in round one, and the bridge — adjacent
+    to BOTH centers — must join the higher-degree hub A, exercising the
+    highest-priority-claim rule the sequential degree-sorted greedy
+    implies. The oracle is that closed-form assignment."""
+    from gaoya_spark.operators.star_cluster import star_clusters
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("doc_id") / 12).alias("f"),
+        (F.col("doc_id") % 12).alias("idx"),
+    )
+    ok = d.groupBy("f").agg(F.count("*").alias("n")).where("n = 12").select("f")
+    m = d.join(ok, "f")
+    ea = (
+        m.where(F.col("idx") == 0).select("f", F.col("doc_id").alias("src"))
+        .join(m.where(F.col("idx").isin(2, 3, 4, 5, 6, 7)).select("f", F.col("doc_id").alias("dst")), "f")
+    )
+    eb = (
+        m.where(F.col("idx") == 1).select("f", F.col("doc_id").alias("src"))
+        .join(m.where(F.col("idx").isin(7, 8, 9, 10)).select("f", F.col("doc_id").alias("dst")), "f")
+    )
+    edges = ea.unionByName(eb).select("src", "dst")
+    return star_clusters(edges).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("center").cast("long").alias("center"),
+    )
+
+
+def _sql_star_cluster() -> str:
+    return (
+        "WITH fam AS (SELECT doc_id, doc_id // 12 AS f, doc_id % 12 AS idx "
+        "FROM documents), "
+        "ok AS (SELECT f FROM fam GROUP BY f HAVING count(*) = 12), "
+        "m AS (SELECT fam.doc_id, fam.f, fam.idx FROM fam JOIN ok USING (f)) "
+        "SELECT CAST(doc_id AS BIGINT) AS id, "
+        "CAST(CASE WHEN idx IN (0,2,3,4,5,6,7) THEN f * 12 "
+        "ELSE f * 12 + 1 END AS BIGINT) AS center "
+        "FROM m WHERE idx <> 11"
+    )
+
+
+def _q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful first-seen dedup (streaming/stateful.py,
+    applyInPandasWithState) replayed deterministically: the documents table
+    plus planted exact-duplicate clones (doc_id + 10000, same text) are
+    written as one parquet file per 100-doc batch with ascending mtimes;
+    an availableNow stream with maxFilesPerTrigger=1 feeds them through
+    first_seen_stream in batch order. Every clone batch arrives after its
+    originals, so the state store must drop all 500 clones — the oracle is
+    the equivalent window dedup (first row per text by batch, doc_id).
+
+    Driver-side fixture writing is test plumbing, not a scale path: the
+    operator under test is the distributed stateful stream itself."""
+    import glob
+    import shutil
+    import tempfile
+
+    from gaoya_spark.streaming.stateful import first_seen_stream
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    ).withColumn("batch", F.floor(F.col("doc_id") / 100))
+    base = tempfile.mkdtemp(prefix="gaoya_stream_oracle_")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    pdf = both.toPandas().sort_values(["batch", "doc_id"])
+    for i, b in enumerate(sorted(pdf["batch"].unique())):
+        p = os.path.join(src_dir, f"batch_{i:04d}.parquet")
+        pdf[pdf["batch"] == b][["doc_id", "text"]].to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i * 60, 1_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    deduped = first_seen_stream(stream, id_col="doc_id", text_col="text")
+    import uuid
+
+    qname = f"first_seen_oracle_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(qname).select("doc_id").cache()
+    out.count()
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def _sql_stream_first_seen() -> str:
+    return (
+        "WITH all_rows AS (SELECT doc_id, text, doc_id // 100 AS batch "
+        "FROM documents "
+        "UNION ALL SELECT doc_id + 10000, text, (doc_id + 10000) // 100 "
+        "FROM documents), "
+        "r AS (SELECT doc_id, row_number() OVER "
+        "(PARTITION BY text ORDER BY batch, doc_id) AS rn FROM all_rows) "
+        "SELECT doc_id FROM r WHERE rn = 1"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_count": _q_token_count,
@@ -538,6 +653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dup_pairs": _q_embedding_cosine_dup_pairs,
         "minhash_dedup_keep_first": _q_minhash_dedup_keep_first,
         "bpe_token_estimate": _q_bpe_token_estimate,
+        "star_cluster": _q_star_cluster,
+        "stream_first_seen": _q_stream_first_seen,
     }
 
 
@@ -587,7 +704,7 @@ def _sql_minhash_pairs(with_sim: bool = True) -> str:
         f"SELECT {sel} "
         "FROM pairs p JOIN sig sa ON p.src = sa.doc_id "
         "JOIN sig sb ON p.dst = sb.doc_id "
-        f"WHERE ({eq}) / {k}.0 >= 0.5"
+        f"WHERE ({eq}) / {k}.0 >= {ORACLE_MINHASH.threshold}"
     )
 
 
@@ -677,7 +794,7 @@ def _sql_query_probes(mod: int = 50) -> str:
         f"WHERE a.doc_id % {mod} = 0) "
         f"SELECT c.qid, c.id, round(({eq}) / {k}.0, 6) AS sim FROM cand c "
         "JOIN sig sa ON c.qid = sa.doc_id JOIN sig sb ON c.id = sb.doc_id "
-        f"WHERE ({eq}) / {k}.0 >= 0.5"
+        f"WHERE ({eq}) / {k}.0 >= {ORACLE_MINHASH.threshold}"
     )
 
 
@@ -752,7 +869,7 @@ def _sql_minhash_keep_first() -> str:
         "AND a.doc_id < b.doc_id), "
         "edges AS (SELECT p.src, p.dst FROM cand p "
         "JOIN sig sa ON p.src = sa.doc_id JOIN sig sb ON p.dst = sb.doc_id "
-        f"WHERE ({eq}) / {k}.0 >= 0.5), "
+        f"WHERE ({eq}) / {k}.0 >= {ORACLE_MINHASH.threshold}), "
         "sym AS (SELECT src AS a, dst AS b FROM edges "
         "UNION SELECT dst, src FROM edges), "
         "reach (id, r) AS (SELECT doc_id, doc_id FROM documents "
@@ -804,7 +921,7 @@ def _sql_query_one(mod: int = 50) -> str:
         f"WHERE a.doc_id % {mod} = 0), "
         f"scored AS (SELECT c.qid, c.id, round(({eq}) / {k}.0, 6) AS sim FROM cand c "
         "JOIN sig sa ON c.qid = sa.doc_id JOIN sig sb ON c.id = sb.doc_id "
-        f"WHERE ({eq}) / {k}.0 > 0.5), "
+        f"WHERE ({eq}) / {k}.0 > {ORACLE_MINHASH.threshold}), "
         "r AS (SELECT qid, id, sim, row_number() OVER "
         "(PARTITION BY qid ORDER BY sim DESC, id ASC) AS rn FROM scored) "
         "SELECT qid, id, sim FROM r WHERE rn = 1"
@@ -956,6 +1073,8 @@ def oracle_sql() -> dict[str, str]:
             ">= 0.4"
         ),
         "minhash_dedup_keep_first": _sql_minhash_keep_first(),
+        "star_cluster": _sql_star_cluster(),
+        "stream_first_seen": _sql_stream_first_seen(),
         "bpe_token_estimate": (
             r"WITH t AS (SELECT doc_id, "
             r"len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "

@@ -50,6 +50,7 @@ def sid_cross_pairs_from_buckets(
     block_groups: int = 16,
     persist: bool = True,
     medium_bucket_limit: int = 1024,
+    gate: bool = True,
 ) -> DataFrame:
     """(qid, id, m) probe-vs-index candidates from two (bk, sid) membership
     frames — the cross (bipartite) variant of sid_pairs_from_buckets for
@@ -101,11 +102,12 @@ def sid_cross_pairs_from_buckets(
     # symmetric variant's C(medium, 2) bound
     med_cap = (medium_bucket_limit * medium_bucket_limit) // 2
     lim_sq = array_bucket_limit * array_bucket_limit
-    if persist:
+    if persist and gate:
         droppable = F.size("is") <= drop_cap
+        tri_cap = max(med_cap, lim_sq)
         st = buckets.agg(
             F.sum(((cross_n > lim_sq) & droppable).cast("int")).alias("n_over"),
-            F.sum(((cross_n > med_cap) & droppable).cast("int")).alias("n_tri"),
+            F.sum(((cross_n > tri_cap) & droppable).cast("int")).alias("n_tri"),
         ).collect()[0]
         has_hot = (st["n_over"] or 0) > 0
         has_huge = (st["n_tri"] or 0) > 0
@@ -165,6 +167,7 @@ def sid_pairs_from_buckets(
     block_groups: int = 16,
     persist: bool = True,
     medium_bucket_limit: int = 1024,
+    gate: bool = True,
 ) -> DataFrame:
     """(src, dst, m) candidate pairs from (bk, sid) membership rows.
 
@@ -207,12 +210,13 @@ def sid_pairs_from_buckets(
     )
     # one stats pass over the persisted buckets gates BOTH upper tiers
     # (the common sane-config case skips them entirely); without persist
-    # the gates conservatively run every tier
-    if persist:
+    # (or with gate=False) the tiers conservatively stay in the plan
+    if persist and gate:
         sz = F.size("ids")
+        tri_lim = max(medium_bucket_limit, array_bucket_limit)
         st = buckets.agg(
             F.sum(((sz > array_bucket_limit) & (sz <= drop_cap)).cast("int")).alias("n_over"),
-            F.sum(((sz > medium_bucket_limit) & (sz <= drop_cap)).cast("int")).alias("n_tri"),
+            F.sum(((sz > tri_lim) & (sz <= drop_cap)).cast("int")).alias("n_tri"),
         ).collect()[0]
         has_hot = (st["n_over"] or 0) > 0
         has_huge = (st["n_tri"] or 0) > 0

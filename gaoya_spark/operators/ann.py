@@ -198,14 +198,16 @@ def ivf_topk(
     if centroids is not None:
         cent = np.asarray(centroids, dtype=np.float64)
     else:
-        # seeded RANDOM sample for the centroid fit — limit() would take
-        # the first partitions, biasing centroids on sorted/clustered-by-
-        # ingest data
-        n_rows = df.count()
-        frac = min(1.0, (sample_limit * 1.2) / max(n_rows, 1))
+        # seeded pseudo-random sample WITHOUT a full-table count: order by a
+        # seeded row hash and take the lowest sample_limit — Spark plans
+        # this as TakeOrderedAndProject (per-partition heap + driver merge),
+        # one pass, no extra Aggregate job, and unbiased on sorted/
+        # clustered-by-ingest data (plain limit() would take the first
+        # partitions). Hashing the id makes the order total, so the sample
+        # is deterministic under any partitioning.
         sample_pdf = (
-            df.select(vec_col)
-            .sample(fraction=frac, seed=seed)
+            df.select(vec_col, F.col(id_col))
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
             .limit(sample_limit)
             .toPandas()
         )
@@ -224,9 +226,12 @@ def ivf_topk(
                 if m.size == 0:
                     yield pd.Series([], dtype=object)
                     continue
-                n = np.linalg.norm(m, axis=1, keepdims=True)
-                n[n == 0] = 1
-                aff = (m / n) @ cent.T
+                # no per-row normalization: cell argmax is invariant to
+                # dividing a row's affinities by its (positive) norm, and
+                # skipping it keeps integer-quantized inputs' affinities
+                # exact integer dots — bit-for-bit reproducible against the
+                # SQL oracle's integer ranking (no FP-rounding tie merges)
+                aff = m @ cent.T
                 # stable: exact affinity ties resolve to the lower cell
                 # index deterministically (cross-engine reproducible)
                 order = np.argsort(-aff, axis=1, kind="stable")[:, :n_take].astype(np.int32)

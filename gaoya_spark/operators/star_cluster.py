@@ -65,9 +65,11 @@ def star_clusters(
     need = min_cluster_size - 1 if inclusive else min_cluster_size
 
     out = None
+    converged = False
     for _ in range(max_iter):
         deg = sym.groupBy("a").agg(F.count("*").alias("d"))
         if deg.limit(1).count() == 0:
+            converged = True
             break
         # priority = (degree desc, id asc) as a single orderable struct:
         # higher d wins, then smaller id — encode id descending via -a
@@ -85,6 +87,7 @@ def star_clusters(
             .select(F.col("a").alias("c"), F.col("d").alias("cd"))
         )
         if centers.limit(1).count() == 0:
+            converged = True
             break
         # members: each node adjacent to >=1 center joins the
         # highest-priority one (centers are an independent set, so a
@@ -129,6 +132,19 @@ def star_clusters(
             .join(ids.withColumnRenamed("id", "b"), "b", "left_anti")
             .select("a", "b")
             .localCheckpoint(eager=True)
+        )
+    if not converged:
+        # mirror _two_phase_cc's non-convergence contract: loop exhaustion
+        # means still-qualifying stars are absent from the result, which is
+        # otherwise indistinguishable from the legitimately-unassigned
+        # remainder — never truncate silently
+        import warnings
+
+        warnings.warn(
+            f"star_clusters: max_iter={max_iter} exhausted before the graph "
+            "emptied; remaining qualifying stars are unassigned. Increase "
+            "max_iter.",
+            RuntimeWarning,
         )
     if out is None:
         schema_type = dict(raw.dtypes)["a"]

@@ -15,6 +15,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
+from gaoya_spark.operators._bucket_pairs import sid_pairs_from_buckets
+
 # HEURISTIC PLACEHOLDER, not a production language identifier: 4 languages
 # x 6 stopwords, chosen to be deterministic and expressible identically in
 # SQL so the operator's Spark plumbing (the part that matters at 100 TB)
@@ -148,24 +150,9 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.7,
-    max_shingle_bucket: int = 50_000,
-) -> DataFrame:
-    """Exact char-n-gram jaccard dedup (src, dst, jaccard >= threshold).
-
-    Candidates = pairs sharing >=1 shingle (complete: jaccard > 0 requires a
-    shared shingle); intersection counted by a groupBy on the shingle join;
-    union = |A| + |B| - inter. All JVM-side; shingles hashed to 64-bit to
-    keep the shuffle narrow. Shingles shared by more than
-    max_shingle_bucket docs are dropped from candidate generation only
-    (stopword-grams at web scale); exactness below threshold is preserved
-    as long as every true pair still shares one surviving shingle.
-    """
+def _ngram_shingle_docs(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh): per-doc distinct 64-bit shingle hashes (empty array for
+    docs shorter than n)."""
     c = F.col(text_col)
     n_pos = F.length(c) - (n - 1)
     shingles = F.array_distinct(
@@ -174,35 +161,109 @@ def ngram_jaccard_pairs(
             lambda i: F.xxhash64(c.substr(i, F.lit(n))),
         )
     )
-    docs = df.select(
+    return df.select(
         F.col(id_col).alias("id"),
         F.when(n_pos >= 1, shingles).otherwise(F.array().cast("array<bigint>")).alias("sh"),
     )
-    sizes = docs.select("id", F.size("sh").alias("n_sh"))
-    ex = docs.select("id", F.explode("sh").alias("s"))
-    hot = ex.groupBy("s").agg(F.count("*").alias("cnt")).where(
-        F.col("cnt") > max_shingle_bucket
+
+
+def ngram_shingle_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_bucket: int = 50_000,
+) -> DataFrame:
+    """Skew report for ngram_jaccard_pairs' blocking key: one row of
+    (n_shingles, max_docs_per_shingle, n_dropped) where n_dropped counts
+    shingles shared by more than max_shingle_bucket docs — the buckets the
+    pairing pass excludes. Pipelines record this next to band_stats /
+    gram_stats so capped shingles are never silent."""
+    docs = _ngram_shingle_docs(df, id_col, text_col, n)
+    sizes = (
+        docs.select(F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("cnt"))
     )
-    ex = ex.join(F.broadcast(hot), "s", "left_anti")
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, "s")
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
-        .agg(F.count("*").alias("inter"))
+    return sizes.agg(
+        F.count("*").alias("n_shingles"),
+        F.max("cnt").alias("max_docs_per_shingle"),
+        F.sum((F.col("cnt") > max_shingle_bucket).cast("long")).alias("n_dropped"),
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "src").withColumnRenamed("n_sh", "na"), "src")
-        .join(sizes.withColumnRenamed("id", "dst").withColumnRenamed("n_sh", "nb"), "dst")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+    max_shingle_bucket: int = 50_000,
+    array_bucket_limit: int = 256,
+    medium_bucket_limit: int = 1024,
+    block_groups: int = 16,
+    persist: bool = True,
+    gate: bool = True,
+) -> DataFrame:
+    """Exact char-n-gram jaccard dedup (src, dst, jaccard >= threshold).
+
+    Candidates and intersection counts both come from the shared tiered
+    bucket machinery (operators/_bucket_pairs.py): each (shingle-hash, doc)
+    membership row is a bucket member, and the returned multiplicity m —
+    the number of buckets a pair co-occurs in — IS the exact intersection
+    count, because shingles are distinct per doc. union = |A| + |B| - m.
+    That inherits the three size tiers (JVM array combinatorics for small
+    buckets, identical-set collapse + array for medium, triangle block join
+    for hot), so one stopword-gram shared by 40k docs is spread across
+    block_groups bounded reducers instead of expanding quadratically inside
+    a raw shingle self-join. Shingles shared by more than
+    max_shingle_bucket docs are excluded from pairing entirely (recorded by
+    ngram_shingle_stats, never silently); below that cap jaccard is exact.
+
+    Docs travel as 8-byte xxhash64(id) surrogates; original ids re-attach
+    only to surviving pairs. A surrogate collision (~n^2/2^65) would merge
+    two docs' intersection counts — negligible at any real scale and
+    impossible at oracle scale.
+    """
+    docs = _ngram_shingle_docs(df, id_col, text_col, n)
+    if persist:
+        docs = docs.persist()
+    mem = docs.select(
+        F.explode("sh").alias("bk"), F.xxhash64("id").alias("sid")
+    )
+    pairs = sid_pairs_from_buckets(
+        mem,
+        array_bucket_limit=array_bucket_limit,
+        drop_cap=max_shingle_bucket,
+        block_groups=block_groups,
+        persist=persist,
+        medium_bucket_limit=medium_bucket_limit,
+        gate=gate,
+    )
+    m = docs.select(
+        F.xxhash64("id").alias("sid"), "id", F.size("sh").alias("n_sh")
+    )
+    ma = m.select(
+        F.col("sid").alias("src"), F.col("id").alias("a_id"), F.col("n_sh").alias("na")
+    )
+    mb = m.select(
+        F.col("sid").alias("dst"), F.col("id").alias("b_id"), F.col("n_sh").alias("nb")
+    )
+    return (
+        pairs.join(ma, "src")
+        .join(mb, "dst")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
+                F.col("m").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("m")),
                 6,
             ),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("src", "dst", "jaccard")
+        .select(
+            F.least("a_id", "b_id").alias("src"),
+            F.greatest("a_id", "b_id").alias("dst"),
+            "jaccard",
+        )
     )
-    return out

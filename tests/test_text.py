@@ -82,6 +82,60 @@ def test_ngram_jaccard_pairs_on_documents(spark, docs):
     assert pairs.count() < 200
 
 
+def test_ngram_jaccard_hot_shingle_tiers(spark):
+    """A shingle shared by thousands of docs must flow through the tiered
+    bucket machinery (triangle block join), not a raw self-join — and the
+    jaccard VALUES for true near-dup pairs that also share the hot shingle
+    must stay exact (the old self-join undercounted `inter` whenever a hot
+    shingle was dropped). Tier limits are shrunk so the 3k-member bucket
+    exercises the triangle tier at test scale."""
+    base = "qwertyuiopasdfghjklzxcvbnm"  # shared hot prefix -> hot shingles
+    rows = [(i, base + f"#{i:06d}") for i in range(3000)]
+    # two planted near-dup pairs that ALSO contain the hot prefix
+    rows.append((90001, base + "#dupA1"))
+    rows.append((90002, base + "#dupA2"))
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r["src"], r["dst"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "id", "text", n=3, threshold=0.5,
+            array_bucket_limit=16, medium_bucket_limit=64, block_groups=4,
+            max_shingle_bucket=50_000,
+        ).collect()
+    }
+
+    def grams(t):
+        return {t[i : i + 3] for i in range(len(t) - 2)}
+
+    def jac(a, b):
+        ga, gb = grams(a), grams(b)
+        return round(len(ga & gb) / len(ga | gb), 6)
+
+    texts = dict(rows)
+    expect = jac(texts[90001], texts[90002])
+    assert expect >= 0.5
+    assert got[(90001, 90002)] == expect
+    # spot-check background pairs against brute force: every reported pair
+    # must carry the exact jaccard despite the hot shingles
+    for (s, d), j in list(got.items())[:50]:
+        assert j == jac(texts[s], texts[d])
+    # and the dominant hot-bucket family (docs sharing only the prefix)
+    # stays below threshold: prefix grams 24+hash ones -> ~24/(24+..)
+    assert all(jac(texts[s], texts[d]) >= 0.5 for (s, d) in got)
+
+
+def test_ngram_shingle_stats(spark):
+    from gaoya_spark.operators.text import ngram_shingle_stats
+
+    rows = [(i, "aaaa" + f"{i:04d}") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    st = ngram_shingle_stats(df, "id", "text", n=3, max_shingle_bucket=10).collect()[0]
+    # 'aaa' (x2 positions, distinct per doc) + 'aa' prefix grams shared by
+    # all 50 docs -> at least one bucket over the cap, recorded
+    assert st["max_docs_per_shingle"] == 50
+    assert st["n_dropped"] >= 1
+
+
 def test_bpe_token_estimate(spark):
     from gaoya_spark.operators.text import bpe_token_estimate
 
