@@ -93,8 +93,12 @@ def build_queries(spark):
 
     def q_doc_minhash_dedup():
         # keep_sim=False: the count doesn't read sim, so pairs that clear
-        # the m-band bound skip the signature-verify join
-        return state["doc_sigs"] and mh.dedup_pairs(state["doc_sigs"], keep_sim=False).count()
+        # the m-band bound skip the signature-verify join; broadcast_sigs:
+        # 5k packed signatures are a few MB — broadcast them instead of
+        # letting AQE build a 7.4M-entry candidate hash relation
+        return state["doc_sigs"] and mh.dedup_pairs(
+            state["doc_sigs"], keep_sim=False, broadcast_sigs=True
+        ).count()
 
     def q_doc_simhash_dedup():
         sigs = sh.signatures(docs, "doc_id", "text")
@@ -114,9 +118,12 @@ def build_queries(spark):
         return _force(state["img_sigs"])
 
     def q_img_minhash_dedup():
+        # broadcast_sigs: 100k packed signatures ~ 85MB, well under the
+        # broadcast threshold — the right side to build, vs the 6.5M-row
+        # candidate set AQE would otherwise pick by bytes
         state["img_pairs"] = (
             state["img_mh"]
-            .dedup_pairs(state["img_sigs"], keep_sim=False)
+            .dedup_pairs(state["img_sigs"], keep_sim=False, broadcast_sigs=True)
             .select("src", "dst")
             .cache()
         )

@@ -59,19 +59,47 @@ def pack_signature_col(sig, num_hashes: int) -> Column:
     return F.transform(idx, word)
 
 
+_FLAT_KERNEL_MAX_WORDS = 512
+
+
 def minhash_eq_count_packed(pa, pb, num_hashes: int) -> Column:
     """Exact equal-position count from two packed signatures: XOR each
     word; a zero high (low) half means the corresponding position pair is
     equal. Odd k over-counts by exactly one (the always-equal phantom low
-    half of the tail word), subtracted here."""
-    x = F.zip_with(pa, pb, lambda a, b: a.bitwiseXOR(b))
-    cnt = F.aggregate(
-        x,
-        F.lit(0),
-        lambda acc, w: acc
-        + F.when(F.shiftrightunsigned(w, 32) == 0, 1).otherwise(0)
-        + F.when(w.bitwiseAND(F.lit(0xFFFFFFFF)) == 0, 1).otherwise(0),
-    )
+    half of the tail word), subtracted here.
+
+    The count is a FLAT balanced addition tree of per-word inline
+    expressions, not a higher-order aggregate() fold: Spark evaluates
+    higher-order functions interpreted per element, while the flat tree
+    stays inside whole-stage codegen — measured 1.6-1.9x faster on the
+    6.6-7.4M-candidate bench verifies (tools/exp_kernel2.py; balanced
+    rather than left-leaning so codegen nesting depth is log n). Beyond
+    _FLAT_KERNEL_MAX_WORDS words the expression tree would strain codegen
+    method limits, so huge-k configs fall back to the aggregate fold."""
+    n_words = (num_hashes + 1) // 2
+    if n_words > _FLAT_KERNEL_MAX_WORDS:
+        x = F.zip_with(pa, pb, lambda a, b: a.bitwiseXOR(b))
+        cnt = F.aggregate(
+            x,
+            F.lit(0),
+            lambda acc, w: acc
+            + F.when(F.shiftrightunsigned(w, 32) == 0, 1).otherwise(0)
+            + F.when(w.bitwiseAND(F.lit(0xFFFFFFFF)) == 0, 1).otherwise(0),
+        )
+        return cnt - F.lit(1) if num_hashes % 2 == 1 else cnt
+    terms = []
+    for i in range(1, n_words + 1):
+        x = F.element_at(pa, i).bitwiseXOR(F.element_at(pb, i))
+        terms.append(
+            F.when(F.shiftrightunsigned(x, 32) == 0, 1).otherwise(0)
+            + F.when(x.bitwiseAND(F.lit(0xFFFFFFFF)) == 0, 1).otherwise(0)
+        )
+    while len(terms) > 1:
+        terms = [
+            terms[j] + terms[j + 1] if j + 1 < len(terms) else terms[j]
+            for j in range(0, len(terms), 2)
+        ]
+    cnt = terms[0]
     return cnt - F.lit(1) if num_hashes % 2 == 1 else cnt
 
 

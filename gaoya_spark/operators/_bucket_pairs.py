@@ -50,7 +50,7 @@ def sid_cross_pairs_from_buckets(
     block_groups: int = 16,
     persist: bool = True,
     medium_bucket_limit: int = 1024,
-    gate: bool = True,
+    gate: bool = False,
 ) -> DataFrame:
     """(qid, id, m) probe-vs-index candidates from two (bk, sid) membership
     frames — the cross (bipartite) variant of sid_pairs_from_buckets for
@@ -167,7 +167,7 @@ def sid_pairs_from_buckets(
     block_groups: int = 16,
     persist: bool = True,
     medium_bucket_limit: int = 1024,
-    gate: bool = True,
+    gate: bool = False,
 ) -> DataFrame:
     """(src, dst, m) candidate pairs from (bk, sid) membership rows.
 
@@ -208,9 +208,14 @@ def sid_pairs_from_buckets(
         )
         .select("p.src", "p.dst", "nb")
     )
-    # one stats pass over the persisted buckets gates BOTH upper tiers
-    # (the common sane-config case skips them entirely); without persist
-    # (or with gate=False) the tiers conservatively stay in the plan
+    # gate=True runs one stats pass over the persisted buckets to prune
+    # empty upper tiers from the plan — but the blocking collect serializes
+    # the pipeline and measured a consistent ~1-4s net LOSS on the bench
+    # corpora (tools/exp_profile.py: dedup 7.0s ungated vs 8.0s gated, MIN
+    # of 3), because the always-on tiers cost only near-empty AQE stages.
+    # Default is therefore gate=False (tiers always in the plan, exactness
+    # unaffected); gate=True remains for configs whose tier filters are
+    # expensive to even scan.
     if persist and gate:
         sz = F.size("ids")
         tri_lim = max(medium_bucket_limit, array_bucket_limit)

@@ -157,24 +157,53 @@ def rp_bucket_stats(
     return lsh.bucket_stats(sig_df, max_bucket_size=max_bucket_size)
 
 
-def _kmeans_fit(sample: np.ndarray, n_cells: int, seed: int, iters: int = 12) -> np.ndarray:
+def _kmeans_fit(sample: np.ndarray, n_cells: int, seed: int, iters: int = 12,
+                restarts: int = 4) -> np.ndarray:
     """Driver-side numpy k-means (k-means|| would replace this on a real
     cluster; the centroid count is small so a sampled fit is standard IVF
-    practice). Returns L2-normalized centroids (dim x n_cells)."""
-    rng = np.random.default_rng(seed)
-    idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
-    cent = sample[idx].copy()
-    for _ in range(iters):
-        d = sample @ cent.T  # cosine affinity on normalized rows
-        assign = d.argmax(axis=1)
-        for c in range(len(cent)):
-            members = sample[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                n = np.linalg.norm(m)
-                if n > 0:
-                    cent[c] = m / n
-    return cent
+    practice). Returns L2-normalized centroids (n_cells x dim).
+
+    Weakly-clustered corpora make a single init luck-sensitive (one
+    unlucky draw seeding two centroids in one cluster measured 21/40
+    top-1 recall on the embeddings fixture), so the fit runs `restarts`
+    deterministic inits — greedy farthest-point from row 0, plus seeded
+    uniform draws — and keeps the centroids with the best quantization
+    objective (mean max-affinity), the standard n_init defense."""
+    k = min(n_cells, len(sample))
+
+    def lloyd(cent):
+        for _ in range(iters):
+            d = sample @ cent.T  # cosine affinity on normalized rows
+            assign = d.argmax(axis=1)
+            for c in range(len(cent)):
+                members = sample[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    n = np.linalg.norm(m)
+                    if n > 0:
+                        cent[c] = m / n
+        return cent
+
+    inits = []
+    chosen = [0]
+    best_aff = sample @ sample[0]
+    for _ in range(k - 1):
+        nxt = int(np.argmin(best_aff))
+        chosen.append(nxt)
+        best_aff = np.maximum(best_aff, sample @ sample[nxt])
+    inits.append(sample[chosen].copy())
+    for r in range(1, restarts):
+        rng = np.random.default_rng(seed + r)
+        idx = rng.choice(len(sample), size=k, replace=False)
+        inits.append(sample[idx].copy())
+
+    best_cent, best_obj = None, -np.inf
+    for cent in inits:
+        cent = lloyd(cent)
+        obj = (sample @ cent.T).max(axis=1).mean()
+        if obj > best_obj:
+            best_cent, best_obj = cent, obj
+    return best_cent
 
 
 def ivf_topk(

@@ -156,6 +156,7 @@ class SimHashLSH:
         block_groups: int = 16,
         max_distance: int | None = None,
         persist: bool = True,
+        gate: bool = False,
     ) -> DataFrame:
         """(src, dst, dist) in sid space, deduped across tables. The 8-byte
         signature rides inside the bucket arrays, so the Hamming distance is
@@ -202,10 +203,13 @@ class SimHashLSH:
                 self._dist(F.col("p.sig_a"), F.col("p.sig_b")).alias("dist"),
             )
         )
-        has_big = (
-            persist
-            and buckets.where(F.size("ms") > array_bucket_limit).limit(1).count() > 0
-        ) or not persist
+        # gate=True prunes the triangle tier with a blocking probe job;
+        # default keeps the tier in the plan — same measured trade as
+        # _bucket_pairs (an empty AQE stage is cheaper than serializing
+        # the pipeline on a gate collect)
+        has_big = (not gate) or (not persist) or (
+            buckets.where(F.size("ms") > array_bucket_limit).limit(1).count() > 0
+        )
         if has_big:
             mid = buckets.where(
                 (F.size("ms") > array_bucket_limit) & (F.size("ms") <= max_bucket_size)

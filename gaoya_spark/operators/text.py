@@ -203,7 +203,7 @@ def ngram_jaccard_pairs(
     medium_bucket_limit: int = 1024,
     block_groups: int = 16,
     persist: bool = True,
-    gate: bool = True,
+    gate: bool = False,
 ) -> DataFrame:
     """Exact char-n-gram jaccard dedup (src, dst, jaccard >= threshold).
 

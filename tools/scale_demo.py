@@ -124,6 +124,63 @@ def main() -> None:
     truth = spark.read.parquet(truth_path).withColumnRenamed("image_id", "id")
     recall = duplicate_pair_recall(labels, truth)
 
+    # ---- probe-vs-index query at scale (the reference's bulk_query path):
+    # ~10k deterministic probes against the full 1M index through the
+    # bipartite bucket machinery, with pair-level recall vs planted truth
+    from pyspark.sql import functions as F
+
+    probes = sigs.where(F.pmod(F.xxhash64("id"), F.lit(N // 10_000)) == 0).persist()
+    n_probes = probes.count()
+    t0 = time.time()
+    matches = mh.query(sigs, probes, keep_sim=False).persist()
+    n_matches = matches.count()
+    t_query = time.time() - t0
+    # true (probe, other-member) pairs from the planted groups
+    tg = truth.select("id", "group_id")
+    pg = probes.select(F.col("id").alias("qid")).join(
+        tg.withColumnRenamed("id", "qid"), "qid"
+    )
+    true_pairs = pg.join(tg.withColumnRenamed("id", "mid"), "group_id").where(
+        F.col("qid") != F.col("mid")
+    ).select("qid", F.col("mid").alias("id"))
+    n_true = true_pairs.count()
+    n_found = true_pairs.join(matches, ["qid", "id"], "left_semi").count()
+    query_recall = n_found / n_true if n_true else 1.0
+    matches.unpersist()
+
+    # ---- planted pathology: one constant-caption block (the all-identical
+    # key failure mode at 10^12 scale) unioned into the corpus; every band
+    # hashes the block into ONE bucket of size PATH_N > bucket_cap_hard, so
+    # the drop cap must exclude it (recorded via band_stats, never silent)
+    # while the planted-dup recall of the real corpus is unaffected.
+    PATH_N = int(os.environ.get("SCALE_DEMO_PATHOLOGY", "200000"))
+    patho = spark.range(PATH_N).select(
+        F.concat(F.lit("patho_"), F.col("id").cast("string")).alias("image_id"),
+        F.lit("all images identical caption pathology block").alias("caption"),
+        F.lit(1234567890).alias("phash"),
+    )
+    t0 = time.time()
+    sigs_p = mh.signatures(
+        images.unionByName(patho), "image_id", "caption", phash_col="phash"
+    ).persist()
+    sigs_p.count()
+    pairs_p = mh.dedup_pairs(sigs_p, keep_sim=False).persist()
+    n_pairs_patho = pairs_p.count()
+    t_patho = time.time() - t0
+    st = (
+        mh.band_stats(mh.bands(sigs_p), max_bucket_size=256, bucket_cap_hard=100_000)
+        .agg(F.sum("n_hot").alias("hot"), F.sum("n_dropped").alias("dropped"))
+        .collect()[0]
+    )
+    # the dropped block contributes no pairs; the real corpus' pairs are
+    # unchanged (the pathology block shares no bucket with real captions)
+    labels_p = connected_components(pairs_p, max_iter=20, driver_threshold=0)
+    recall_patho = duplicate_pair_recall(labels_p, truth)
+    assert st["dropped"] >= b, (
+        f"pathology bucket not recorded: n_dropped={st['dropped']}"
+    )
+    sigs_p.unpersist(); pairs_p.unpersist()
+
     print(json.dumps({
         "n_images": n_rows,
         "band_config": {"b": b, "r": r, "num_hashes": b * r},
@@ -139,6 +196,22 @@ def main() -> None:
         "star_sec": round(t_star, 1),
         "starred": n_starred,
         "dup_pair_recall": round(recall, 4),
+        "probe_query": {
+            "n_probes": n_probes,
+            "query_sec": round(t_query, 1),
+            "n_matches": n_matches,
+            "true_pairs": n_true,
+            "found_true_pairs": n_found,
+            "recall": round(query_recall, 4),
+        },
+        "pathology": {
+            "planted_block": PATH_N,
+            "sig_plus_dedup_sec": round(t_patho, 1),
+            "dup_pairs": n_pairs_patho,
+            "hot_buckets": int(st["hot"] or 0),
+            "dropped_buckets": int(st["dropped"] or 0),
+            "dup_pair_recall": round(recall_patho, 4),
+        },
         "cpus": CPUS,
     }))
     spark.stop()
