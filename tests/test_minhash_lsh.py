@@ -53,6 +53,39 @@ def test_corpus5_dedup_pairs(spark, corpus5):
     assert got == expected
 
 
+def test_dedup_pairs_broadcast_sigs_identical(spark, corpus5):
+    """broadcast_sigs is a pure plan hint (build side of the verify
+    joins); the pair set must be identical with and without it, for both
+    keep_sim settings."""
+    lsh, sigs = corpus5
+    base = {(r["src"], r["dst"]) for r in lsh.dedup_pairs(sigs).collect()}
+    hinted = {
+        (r["src"], r["dst"])
+        for r in lsh.dedup_pairs(sigs, broadcast_sigs=True).collect()
+    }
+    assert hinted == base
+    fast = {
+        (r["src"], r["dst"])
+        for r in lsh.dedup_pairs(sigs, keep_sim=False, broadcast_sigs=True).collect()
+    }
+    assert fast == base
+
+
+def test_dedup_pairs_raw_candidates_identical(spark, corpus5):
+    """raw_candidates skips the candidate aggregation (pairs repeat per
+    band, verified map-side, deduped at the end) — the pair set must be
+    identical to the aggregated + m-prefilter path."""
+    lsh, sigs = corpus5
+    base = {(r["src"], r["dst"]) for r in lsh.dedup_pairs(sigs).collect()}
+    raw = {
+        (r["src"], r["dst"])
+        for r in lsh.dedup_pairs(
+            sigs, keep_sim=False, raw_candidates=True
+        ).collect()
+    }
+    assert raw == base
+
+
 def test_upsert_overwrites(spark, corpus5):
     """W8: re-inserting an id replaces its signature cleanly (documented
     divergence from the reference's stale-band-entry behavior, test #19)."""
@@ -258,7 +291,9 @@ def test_packed_verify_matches_unpacked(spark):
     )
 
     rng = np.random.default_rng(5)
-    for k in (7, 8, 200, 201):
+    # 1031 exceeds _FLAT_KERNEL_MAX_WORDS (516 words) — exercises the
+    # aggregate-fold fallback incl. its odd-k phantom-half correction
+    for k in (7, 8, 200, 201, 1031):
         # u32 range incl. > 2^31 (negative as int32); force some equalities
         a = rng.integers(0, 2**32, size=k, dtype=np.uint64)
         b = a.copy()
