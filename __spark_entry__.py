@@ -609,6 +609,64 @@ def _q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming incremental near-dup detection
+    (streaming/stream_dedup.py) replayed deterministically: the documents
+    table arrives in doc_id-ordered micro-batches of 100 (one parquet
+    file per batch, ascending mtimes, availableNow +
+    maxFilesPerTrigger=1). Each batch's edges are its within-batch dedup
+    pairs plus probe-vs-standing-index matches, so a pair is discovered
+    exactly when its later member arrives — after the full replay the
+    batch-partitioned edge table must equal the BATCH-mode answer: every
+    verified pair over the whole corpus. Oracle: the same banded-LSH +
+    signature-verify SQL as minhash_band_pairs, pair set only.
+
+    Driver-side fixture writing is test plumbing; the operator under test
+    is the foreachBatch stream (warehouse-backed state, batch-id
+    idempotent writes) itself."""
+    import shutil
+    import tempfile
+
+    from gaoya_spark.sources.warehouse import Warehouse
+    from gaoya_spark.streaming.stream_dedup import StreamingDedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="gaoya_stream_inc_")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    pdf = docs.toPandas().sort_values("doc_id")
+    bsize = 100
+    for i in range(0, len(pdf), bsize):
+        p = os.path.join(src_dir, f"batch_{i // bsize:04d}.parquet")
+        pdf.iloc[i:i + bsize].to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i * 60, 1_000_000 + i * 60))
+    wh = Warehouse(spark, os.path.join(base, "wh"))
+    sd = StreamingDedup(
+        spark, wh, ORACLE_MINHASH,
+        id_col="doc_id", text_col="text", phash_col=None,
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = sd.start(stream, os.path.join(base, "ckpt"))
+    q.awaitTermination()
+    # normalize orientation: cross-index edges are (newer, older); the
+    # oracle (and dedup_pairs) order by id value
+    rows = (
+        wh.read("stream_edges")
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .collect()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
 def _sql_stream_first_seen() -> str:
     return (
         "WITH all_rows AS (SELECT doc_id, text, doc_id // 100 AS batch "
@@ -655,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_estimate": _q_bpe_token_estimate,
         "star_cluster": _q_star_cluster,
         "stream_first_seen": _q_stream_first_seen,
+        "stream_incremental_dedup": _q_stream_incremental_dedup,
     }
 
 
@@ -1075,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_keep_first": _sql_minhash_keep_first(),
         "star_cluster": _sql_star_cluster(),
         "stream_first_seen": _sql_stream_first_seen(),
+        "stream_incremental_dedup": _sql_minhash_pairs(with_sim=False),
         "bpe_token_estimate": (
             r"WITH t AS (SELECT doc_id, "
             r"len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
