@@ -86,6 +86,27 @@ def test_dedup_pairs_raw_candidates_identical(spark, corpus5):
     assert raw == base
 
 
+def test_dedup_pairs_numpy_verify_identical(spark, corpus5):
+    """numpy_verify replaces the signature-verify joins with the
+    vectorized broadcast kernel — exact same eq-count semantics, so the
+    pair set must be identical in both aggregated (m-prefilter) and
+    raw-candidates modes."""
+    lsh, sigs = corpus5
+    base = {(r["src"], r["dst"]) for r in lsh.dedup_pairs(sigs).collect()}
+    np_agg = {
+        (r["src"], r["dst"])
+        for r in lsh.dedup_pairs(sigs, keep_sim=False, numpy_verify=True).collect()
+    }
+    assert np_agg == base
+    np_raw = {
+        (r["src"], r["dst"])
+        for r in lsh.dedup_pairs(
+            sigs, keep_sim=False, numpy_verify=True, raw_candidates=True
+        ).collect()
+    }
+    assert np_raw == base
+
+
 def test_upsert_overwrites(spark, corpus5):
     """W8: re-inserting an id replaces its signature cleanly (documented
     divergence from the reference's stale-band-entry behavior, test #19)."""
