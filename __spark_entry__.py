@@ -181,6 +181,19 @@ def _q_minhash_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.dedup_pairs(sigs, keep_sim=False)
 
 
+def _q_minhash_dedup_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numpy broadcast-verify dedup path (dedup_pairs(numpy_verify=
+    True, raw_candidates=True)): raw band emissions stream into a
+    vectorized kernel that gathers both signature rows per pair from one
+    broadcast matrix, counts equal positions, and attaches original ids —
+    exactly the fully-verified pair set the oracle computes."""
+    lsh = MinHashLSH(ORACLE_MINHASH)
+    sigs = _minhash_sigs_oracle(spark, sf_dir)
+    return lsh.dedup_pairs(
+        sigs, keep_sim=False, numpy_verify=True, raw_candidates=True
+    )
+
+
 def _q_simhash_hamming_angle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P16 hamming_angle (simhash/mod.rs:77-80) over the Hamming-ball
     pairs: angle = dist * pi / nbits, computed by hamming_angle_col on the
@@ -695,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_angle_pairs": _q_simhash_hamming_angle_pairs,
         "simhash_top_k": _q_simhash_top_k,
         "minhash_dedup_fast": _q_minhash_dedup_fast,
+        "minhash_dedup_numpy": _q_minhash_dedup_numpy,
         "simhash128_signature": _q_simhash128_signature,
         "simhash128_hamming_pairs": _q_simhash128_hamming_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -1098,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_band_pairs": _sql_minhash_pairs(),
         "minhash_dedup_fast": _sql_minhash_pairs(with_sim=False),
+        "minhash_dedup_numpy": _sql_minhash_pairs(with_sim=False),
         "simhash_hamming_angle_pairs": (
             f"WITH {_sql_simhash_sig()} "
             "SELECT a.doc_id AS src, b.doc_id AS dst, "
