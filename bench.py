@@ -92,16 +92,17 @@ def build_queries(spark):
         return _force(state["doc_sigs"])
 
     def q_doc_minhash_dedup():
-        # numpy_verify + raw_candidates: raw per-band emissions stream
-        # straight into the vectorized numpy broadcast kernel — no
-        # candidate-set shuffle, one broadcast build. Measured MIN 7.1s vs
-        # 12.9s for the JVM broadcast-join verify on this corpus
-        # (tools/exp_verify.py methodology; counts identical). Small-table
+        # numpy_verify, aggregated: with ids attached inside the kernel,
+        # aggregated mode is verify+attach in ONE pandas pass with no
+        # post-kernel exchange, and the candidate aggregation collapses
+        # this dense corpus's 17.6M raw emissions (avg m=2.4) to 7.4M
+        # candidates before the kernel. Interleaved MINs on this corpus:
+        # agg 6.1s vs raw 27.4s vs JVM broadcast-join verify 15.6s
+        # (/tmp-fixture methodology of tools/exp_verify.py). Small-table
         # gated like broadcast_sigs — at 10^12 rows the default shuffle
         # verify path applies.
         return state["doc_sigs"] and mh.dedup_pairs(
             state["doc_sigs"], keep_sim=False, numpy_verify=True,
-            raw_candidates=True,
         ).count()
 
     def q_doc_simhash_dedup():
@@ -128,12 +129,14 @@ def build_queries(spark):
         return _force(state["img_sigs"])
 
     def q_img_minhash_dedup():
-        # numpy_verify + raw_candidates: measured MIN 3.6s vs 5.7s for the
-        # JVM broadcast-join verify (tools/exp_verify.py), counts identical
+        # numpy_verify, aggregated: verify + in-kernel id attach in one
+        # pandas pass, m-band prefilter skips the matrix gather for pairs
+        # already above threshold by band count. Interleaved MINs: agg
+        # 6.51s ~ raw 6.58s on this mostly-m=1 corpus, and 1.6x the JVM
+        # broadcast-join verify (tools/exp_verify.py); counts identical
         state["img_pairs"] = (
             state["img_mh"]
-            .dedup_pairs(state["img_sigs"], keep_sim=False, numpy_verify=True,
-                         raw_candidates=True)
+            .dedup_pairs(state["img_sigs"], keep_sim=False, numpy_verify=True)
             .select("src", "dst")
             .cache()
         )

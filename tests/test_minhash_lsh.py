@@ -107,6 +107,32 @@ def test_dedup_pairs_numpy_verify_identical(spark, corpus5):
     assert np_raw == base
 
 
+def test_dedup_pairs_numpy_verify_nonascii_ids(spark):
+    """The numpy kernel orders each output pair by comparing original ids
+    in Python (code-point order), claiming equality with Spark's binary
+    UTF8 least/greatest — UTF-8 is order-preserving, so the claim must
+    hold beyond ASCII. Clone docs carry ids mixing accents, CJK, and
+    astral-plane emoji (surrogate-pair territory in UTF-16, where naive
+    orderings diverge), and the numpy pair set must equal the default
+    JVM path's exactly."""
+    ids = ["zz~ascii", "é-accent", "中文-cjk", "\U0001f600-emoji", "Zupper"]
+    rows = [(i, "common shared near duplicate text body here") for i in ids]
+    df = spark.createDataFrame(rows, "id string, text string")
+    cfg = MinHashConfig(num_bands=42, band_width=3, threshold=0.5, tokenizer=WORD)
+    lsh = MinHashLSH(cfg)
+    sigs = lsh.signatures(df, "id", "text").cache()
+    base = {(r["src"], r["dst"]) for r in lsh.dedup_pairs(sigs).collect()}
+    assert len(base) == 10  # all 5 clones pair up
+    for raw in (False, True):
+        got = {
+            (r["src"], r["dst"])
+            for r in lsh.dedup_pairs(
+                sigs, keep_sim=False, numpy_verify=True, raw_candidates=raw
+            ).collect()
+        }
+        assert got == base
+
+
 def test_upsert_overwrites(spark, corpus5):
     """W8: re-inserting an id replaces its signature cleanly (documented
     divergence from the reference's stale-band-entry behavior, test #19)."""
