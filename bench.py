@@ -98,9 +98,8 @@ def build_queries(spark):
         # this dense corpus's 17.6M raw emissions (avg m=2.4) to 7.4M
         # candidates before the kernel. Interleaved MINs on this corpus:
         # agg 6.1s vs raw 27.4s vs JVM broadcast-join verify 15.6s
-        # (/tmp-fixture methodology of tools/exp_verify.py). Small-table
-        # gated like broadcast_sigs — at 10^12 rows the default shuffle
-        # verify path applies.
+        # (tools/exp_np_agg.py). Small-table gated like broadcast_sigs —
+        # at 10^12 rows the default shuffle verify path applies.
         return state["doc_sigs"] and mh.dedup_pairs(
             state["doc_sigs"], keep_sim=False, numpy_verify=True,
         ).count()
@@ -132,8 +131,8 @@ def build_queries(spark):
         # numpy_verify, aggregated: verify + in-kernel id attach in one
         # pandas pass, m-band prefilter skips the matrix gather for pairs
         # already above threshold by band count. Interleaved MINs: agg
-        # 6.51s ~ raw 6.58s on this mostly-m=1 corpus, and 1.6x the JVM
-        # broadcast-join verify (tools/exp_verify.py); counts identical
+        # 6.51s ~ raw 6.58s on this mostly-m=1 corpus (tools/exp_np_agg.py),
+        # and 1.6x the JVM broadcast-join verify; counts identical
         state["img_pairs"] = (
             state["img_mh"]
             .dedup_pairs(state["img_sigs"], keep_sim=False, numpy_verify=True)

@@ -133,6 +133,46 @@ def test_dedup_pairs_numpy_verify_nonascii_ids(spark):
         assert got == base
 
 
+@pytest.mark.parametrize("hash_size", [32, 64])
+def test_dedup_pairs_numpy_verify_random_corpus(spark, hash_size):
+    """Seeded random corpus equivalence: the numpy kernel must produce
+    the default JVM path's exact pair set for BOTH matrix dtypes —
+    hash_size<64 runs the int32 branch, hash_size=64 the int64 branch
+    (the 2^61-1 MinHasher64V1 formula, values above 2^32) — and for
+    long (non-string) ids, over a graph with partial overlaps around
+    the threshold rather than clean clone groups."""
+    import random
+
+    rng = random.Random(97 + hash_size)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(80):
+        if i % 3 == 0 or not rows:
+            words = rng.sample(vocab, 12)
+        else:  # mutate a recent doc: overlap hovers near threshold
+            base = rows[-1][1].split()
+            k = rng.randint(1, 6)
+            words = base[: 12 - k] + rng.sample(vocab, k)
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "id long, text string")
+    cfg = MinHashConfig(
+        num_bands=42, band_width=3, threshold=0.5, hash_size=hash_size,
+        tokenizer=WORD,
+    )
+    lsh = MinHashLSH(cfg)
+    sigs = lsh.signatures(df, "id", "text").cache()
+    base = {(r["src"], r["dst"]) for r in lsh.dedup_pairs(sigs).collect()}
+    assert base  # the mutation chain must create some near-dup pairs
+    for raw in (False, True):
+        got = {
+            (r["src"], r["dst"])
+            for r in lsh.dedup_pairs(
+                sigs, keep_sim=False, numpy_verify=True, raw_candidates=raw
+            ).collect()
+        }
+        assert got == base
+
+
 def test_upsert_overwrites(spark, corpus5):
     """W8: re-inserting an id replaces its signature cleanly (documented
     divergence from the reference's stale-band-entry behavior, test #19)."""
