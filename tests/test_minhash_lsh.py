@@ -400,3 +400,59 @@ def test_packed_verify_matches_unpacked(spark):
             (minhash_similarity_col("sa", "sb", k) * k).cast("int").alias("unpacked"),
         ).collect()[0]
         assert row["packed"] == expected == row["unpacked"], (k, row, expected)
+
+
+def test_packed_verify_hash_size_64_full_width(spark):
+    """hash_size=64 signatures (values up to 2^61-1) cannot share a long:
+    pack_signature_col must keep one position per word and the eq-count
+    must compare FULL words. Regression: the u32 two-per-long packing
+    truncated each position to its low 32 bits, so positions agreeing in
+    the low half but differing above (here: differing ONLY in bits
+    32-60) counted as equal. Covers both the flat tree and the
+    beyond-_FLAT_KERNEL_MAX_WORDS fallback."""
+    from pyspark.sql import functions as F
+
+    from gaoya_spark.functions.similarity import (
+        minhash_eq_count_packed,
+        pack_signature_col,
+    )
+
+    for k in (4, 600):
+        base = [(7 << 35) + i for i in range(k)]
+        b = list(base)
+        b[0] += 1 << 36          # differs above bit 32, low 32 bits equal
+        b[1] = (b[1] + 1) & ((1 << 61) - 1)  # differs in low bits too
+        expected = k - 2
+        df = spark.createDataFrame([(base, b)], "sa array<long>, sb array<long>")
+        got = df.select(
+            minhash_eq_count_packed(
+                pack_signature_col(F.col("sa"), k, 64),
+                pack_signature_col(F.col("sb"), k, 64),
+                k,
+                64,
+            ).alias("eq")
+        ).collect()[0]["eq"]
+        assert got == expected, (k, got, expected)
+
+
+def test_min_eq_count_float_boundaries():
+    """need = smallest e with e/k >= t under double division. ceil(t*k)
+    alone over-requires at thresholds whose product rounds up in binary
+    (0.07*100 = 7.000000000000001): a pair with exactly 7/100 equal
+    positions DOES satisfy the JVM's 7/100 >= 0.07."""
+    from gaoya_spark.operators.minhash_lsh import (
+        _m_sure_bands,
+        _min_eq_count,
+    )
+
+    for t, k, want in [(0.07, 100, 7), (0.5, 200, 100), (0.14, 100, 14),
+                       (0.33, 3, 1), (1.0, 10, 10), (0.0, 10, 0)]:
+        got = _min_eq_count(t, k)
+        assert got == want, (t, k, got, want)
+        # definitional check: got passes, got-1 does not
+        assert got / k >= t
+        assert got == 0 or (got - 1) / k < t
+    for t, k, r in [(0.07, 100, 4), (0.5, 200, 4), (0.7, 222, 6)]:
+        m = _m_sure_bands(t, k, r)
+        assert (m * r) / k >= t
+        assert m == 0 or ((m - 1) * r) / k < t
