@@ -176,7 +176,7 @@ def build_queries(spark):
 
 def run_once() -> dict:
     """One bench process: the full query suite, repeated
-    $SPARK_GRAFT_BENCH_REPS times cold (default 2; caches cleared and
+    $SPARK_GRAFT_BENCH_REPS times cold (default 3; caches cleared and
     fixtures re-materialized between reps), reporting the per-query MIN.
     Rationale: this host's throughput drifts up to ~2.5x across minutes
     (the same code measured 11.6s and 29s an hour apart on the headline

@@ -133,17 +133,20 @@ def star_clusters(
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-    if not converged:
+    if not converged and sym.limit(1).count() > 0:
         # mirror _two_phase_cc's non-convergence contract: loop exhaustion
-        # means still-qualifying stars are absent from the result, which is
-        # otherwise indistinguishable from the legitimately-unassigned
-        # remainder — never truncate silently
+        # with residual edges means still-qualifying stars (if any) are
+        # absent from the result, which is otherwise indistinguishable
+        # from the legitimately-unassigned remainder — never truncate
+        # silently. The residual-edge check avoids a false alarm when
+        # convergence lands exactly on the final allowed iteration (the
+        # converged flag is only set by the NEXT iteration's entry checks).
         import warnings
 
         warnings.warn(
-            f"star_clusters: max_iter={max_iter} exhausted before the graph "
-            "emptied; remaining qualifying stars are unassigned. Increase "
-            "max_iter.",
+            f"star_clusters: max_iter={max_iter} exhausted with residual "
+            "edges; still-qualifying stars (if any) are unassigned. "
+            "Increase max_iter.",
             RuntimeWarning,
         )
     if out is None:

@@ -48,8 +48,14 @@ def first_seen_stream(
     ttl_minutes: float | None = None,
 ) -> DataFrame:
     """Emit only the FIRST row for each distinct text value; later exact
-    duplicates are dropped. Within a micro-batch, arrival order inside the
-    group decides the winner (deterministic per batch content).
+    duplicates are dropped. Within a micro-batch the winner among same-text
+    rows is the smallest id: applyInPandasWithState makes no contract about
+    row order inside a post-shuffle state group, so relying on arrival
+    order would be nondeterministic — the group's rows (bounded by the
+    micro-batch) are materialized and sorted by id before processing,
+    making the result a pure function of (micro-batch partitioning,
+    content) and matching a `row_number() OVER (PARTITION BY text ORDER BY
+    batch, id)` oracle whenever triggers ingest batches in order.
 
     ttl_minutes=None dedups over the whole stream lifetime (state grows
     with distinct count); with a TTL, a bucket's seen-set is evicted after
@@ -71,9 +77,17 @@ def first_seen_stream(
         old = list(state.get[0]) if state.exists else []
         seen = set(old)
         fresh: list[int] = []
-        for pdf in pdfs:
+        # deterministic within-trigger tie-break: post-shuffle chunk order
+        # is not contractual, so materialize the group (bounded by the
+        # micro-batch) and let the smallest id win among same-text rows
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allrows = (
+                pd.concat(chunks, ignore_index=True)
+                .sort_values(id_col, kind="stable", ignore_index=True)
+            )
             hashes = hashing.fnv1a_u64(
-                [t.encode("utf-8") for t in pdf[text_col]]
+                [t.encode("utf-8") for t in allrows[text_col]]
             ).astype("int64")
             keep = []
             for hv in hashes:
@@ -84,7 +98,7 @@ def first_seen_stream(
                     keep.append(True)
                     seen.add(hv)
                     fresh.append(hv)
-            out = pdf[keep]
+            out = allrows[keep]
             if len(out):
                 yield out[[id_col, text_col, "bucket"]]
         if fresh:

@@ -167,7 +167,20 @@ def test_stateful_first_seen_ttl_eviction(spark, tmp_path):
     ckpt = tmp_path / "ck"
     os.makedirs(src)
 
-    def run_once():
+    def run_once(expect_out: int, wait_state_empty: bool = False):
+        # a query with ProcessingTimeTimeout configured NEVER
+        # self-terminates under availableNow on this Spark version — once
+        # all data is processed it keeps scheduling empty timeout batches
+        # forever (observed via lastProgress: batchId climbing with
+        # numInputRows=0 and state already empty), so awaitTermination /
+        # processAllAvailable both block until their timeout. A bare
+        # awaitTermination(120) burned its full 120s FIVE times per suite
+        # run (621s measured for this test, ~20s of real work). Instead:
+        # poll the sink for the expected row count (data processed) and
+        # optionally for the state store to drain to 0 rows (the 100ms
+        # TTL evicts EVERY idle bucket, so empty state is the
+        # deterministic endpoint proving the expired bucket is gone),
+        # then stop the query explicitly.
         stream = spark.readStream.schema(SCHEMA).parquet(str(src) + "/*")
         q = (
             first_seen_stream(stream, ttl_minutes=0.1 / 60)  # 100ms horizon
@@ -177,24 +190,55 @@ def test_stateful_first_seen_ttl_eviction(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        deadline = _time.time() + 90
+
+        def state_rows():
+            p = q.lastProgress
+            ops = (p or {}).get("stateOperators") or [{}]
+            return ops[0].get("numRowsTotal")
+
+        def ready():
+            try:
+                if spark.read.parquet(str(out)).count() < expect_out:
+                    return False
+            except Exception:
+                return False  # sink dir not created yet
+            return not wait_state_empty or state_rows() == 0
+
+        while _time.time() < deadline and not ready():
+            _time.sleep(0.3)
+        assert ready(), (
+            f"timed out: sink={spark.read.parquet(str(out)).count() if os.path.exists(out) else 'missing'} "
+            f"(want {expect_out}), state_rows={state_rows()} "
+            f"(wait_state_empty={wait_state_empty})"
+        )
+        try:
+            q.stop()
+            q.awaitTermination(60)
+        except Exception:
+            # stopping can race the planning of the next (empty, timeout-
+            # only) batch and surface a spurious internal error; the
+            # polled conditions above are the actual assertions
+            pass
 
     spark.createDataFrame(_img_rows([(1, "alpha beta")]), SCHEMA).write.parquet(
         str(src / "f0")
     )
-    run_once()
+    run_once(expect_out=1)
     _time.sleep(1.0)  # let the 100ms TTL lapse while the bucket is idle
     # a trigger with data for a DIFFERENT bucket fires the timeout path
-    # for the expired one (timed-out keys are invoked with hasTimedOut)
+    # for the expired one (timed-out keys are invoked with hasTimedOut);
+    # expect_state=1 waits until the eviction batch has actually dropped
+    # the expired bucket (leaving only gamma-delta's)
     spark.createDataFrame(_img_rows([(2, "gamma delta")]), SCHEMA).write.parquet(
         str(src / "f1")
     )
-    run_once()
+    run_once(expect_out=2, wait_state_empty=True)
     # replay of the evicted caption: re-admitted
     spark.createDataFrame(_img_rows([(3, "alpha beta")]), SCHEMA).write.parquet(
         str(src / "f2")
     )
-    run_once()
+    run_once(expect_out=3)
     got = [(r["image_id"], r["caption"]) for r in spark.read.parquet(str(out)).collect()]
     assert sorted(got) == [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")]
     # with a TTL comfortably above the trigger cadence, cross-run replay
@@ -202,7 +246,11 @@ def test_stateful_first_seen_ttl_eviction(spark, tmp_path):
     src2, out2, ckpt2 = tmp_path / "in2", tmp_path / "out2", tmp_path / "ck2"
     os.makedirs(src2)
 
-    def run_long_ttl():
+    def run_long_ttl(expect_files: int):
+        # same never-terminating trigger (see run_once); here only the
+        # data batches matter, so poll for the sink rows then stop. The
+        # dedup drops id 4, so poll on PROCESSED input (lastProgress sees
+        # the batch) rather than emitted rows for the second run.
         stream = spark.readStream.schema(SCHEMA).parquet(str(src2) + "/*")
         q = (
             first_seen_stream(stream, ttl_minutes=60)
@@ -212,15 +260,25 @@ def test_stateful_first_seen_ttl_eviction(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        deadline = _time.time() + 90
+
+        def files_seen():
+            rp = q.recentProgress or []
+            return sum(int(p.get("numInputRows") or 0) for p in rp)
+
+        while _time.time() < deadline and files_seen() < expect_files:
+            _time.sleep(0.3)
+        assert files_seen() >= expect_files, q.recentProgress
+        q.stop()
+        q.awaitTermination(60)
 
     spark.createDataFrame(_img_rows([(1, "alpha beta")]), SCHEMA).write.parquet(
         str(src2 / "f0")
     )
-    run_long_ttl()
+    run_long_ttl(expect_files=1)
     spark.createDataFrame(_img_rows([(4, "alpha beta")]), SCHEMA).write.parquet(
         str(src2 / "f1")
     )
-    run_long_ttl()
+    run_long_ttl(expect_files=1)
     got2 = {r["image_id"] for r in spark.read.parquet(str(out2)).collect()}
     assert got2 == {1}

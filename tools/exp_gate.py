@@ -26,7 +26,6 @@ IMAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "100000"))
 
 
 def main() -> None:
-    import gaoya_spark.operators._bucket_pairs as bp
     from gaoya_spark.config import MinHashConfig, TokenizerSpec
     from gaoya_spark.fixtures import make_images_pdf
     from gaoya_spark.operators.minhash_lsh import MinHashLSH
@@ -57,11 +56,11 @@ def main() -> None:
     img_sigs = img_mh.signatures(images, "image_id", "caption", phash_col="phash").cache()
     img_sigs.count()
 
-    orig = bp.sid_pairs_from_buckets
-
     def patched_factory(mode):
         if mode == "gated":
-            return dict(persist=True)
+            # the engine default flipped to gate=False (dbf3931), so the
+            # gated variant must now opt in explicitly
+            return dict(persist=True, gate=True)
         if mode == "ungated":
             return dict(persist=True, gate=False)
         return dict(persist=False, gate=False)

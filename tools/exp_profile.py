@@ -51,7 +51,7 @@ def main() -> None:
     for rep in range(reps):
         run("bands", lambda: mh._sid_bands(sigs).count())
         run("cand", lambda: mh.sid_candidates(sigs).count())
-        run("dedup_g", lambda: mh.dedup_pairs(sigs, keep_sim=False).count())
+        run("dedup_g", lambda: mh.dedup_pairs(sigs, keep_sim=False, gate=True).count())
         run("dedup_ng", lambda: mh.dedup_pairs(sigs, keep_sim=False, gate=False).count())
     print("MIN:", {k: round(v, 2) for k, v in res.items()}, flush=True)
 
