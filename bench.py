@@ -174,15 +174,45 @@ def build_queries(spark):
     }, n_docs
 
 
+def _total_ram_gb() -> float:
+    """Physical RAM in GiB (MemTotal) — caps the driver-heap default so a
+    high-core/low-RAM host doesn't get a heap the box can't back."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return 64.0
+
+
+def _converged(samples: dict[str, list[float]], rel: float, abs_floor: float) -> bool:
+    """True when, for EVERY query, the two best timings agree within
+    rel (or abs_floor seconds for sub-second stages, where scheduler
+    jitter dominates and relative spread is meaningless)."""
+    for ts in samples.values():
+        if len(ts) < 2:
+            return False
+        best, second = sorted(ts)[:2]
+        if (second - best) > max(rel * best, abs_floor):
+            return False
+    return True
+
+
 def run_once() -> dict:
-    """One bench process: the full query suite, repeated
-    $SPARK_GRAFT_BENCH_REPS times cold (default 3; caches cleared and
-    fixtures re-materialized between reps), reporting the per-query MIN.
-    Rationale: this host's throughput drifts up to ~2.5x across minutes
-    (the same code measured 11.6s and 29s an hour apart on the headline
-    dedup query); a single-shot number is dominated by that drift, while
-    per-query min over same-process repetitions estimates the true cost —
-    the same aggregation the scaling artifact already uses."""
+    """One bench process: the full query suite, repeated cold (caches
+    cleared and fixtures re-materialized between reps), reporting the
+    per-query MIN plus per-query `spread` = (2nd_best - best) / best.
+
+    Reps are ADAPTIVE: at least $SPARK_GRAFT_BENCH_REPS (default 2), then
+    keep repeating until every query's two best timings agree within 20%
+    (or 0.4s for sub-second stages), capped at 6. Rationale: this host's
+    throughput drifts up to ~3.4x across minutes (round 4's scoreboard
+    showed 25.7s for a query an immediate re-run measured at 7.65s); a
+    fixed rep count caught in a slow window still misleads, while
+    repeat-until-agreement bounds the error the artifact can carry — and
+    the spread column makes residual noise visible to the reader."""
     from gaoya_spark.session import get_spark
 
     # size the heap with parallelism like run_scaling's subprocesses do
@@ -190,45 +220,65 @@ def run_once() -> dict:
     # doc+image inputs, two signature tables, and the bands cache live at
     # once, and at local[32] the old 8g default ran the verify joins
     # GC-bound (GCLocker retry warnings, 13-19s img dedup vs 8-9s for the
-    # identical query in a roomy heap)
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{min(3 * CPUS, 72)}g")
+    # identical query in a roomy heap). Clamped to 80% of physical RAM so
+    # a high-core/low-RAM host can still start the JVM.
+    mem_gb = max(2, min(3 * CPUS, 72, int(0.8 * _total_ram_gb())))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{mem_gb}g")
     spark = get_spark("gaoya_spark_bench", cores=CPUS)
-    # 3 cold reps, per-query MIN: host throughput drifts up to ~2.5x
-    # across minutes (measured), and two reps still leave a ~15% spread
-    # on the headline dedup queries; the third costs ~90s and roughly
-    # halves that
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    min_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    if "SPARK_GRAFT_BENCH_MAX_REPS" in os.environ:
+        max_reps = max(min_reps, int(os.environ["SPARK_GRAFT_BENCH_MAX_REPS"]))
+    elif "SPARK_GRAFT_BENCH_REPS" in os.environ:
+        # an explicit rep count means EXACT count (run_scaling /
+        # run_hw_control interleave their own repeats across subprocesses
+        # and aggregate outside; inner adaptation would double-count)
+        max_reps = min_reps
+    else:
+        max_reps = 6
     only = os.environ.get("SPARK_GRAFT_ONLY")
-    timings: dict = {}
+    samples: dict[str, list[float]] = {}
     counts: dict = {}
-    for rep in range(reps):
+    for rep in range(max_reps):
+        if rep >= min_reps and _converged(samples, rel=0.20, abs_floor=0.4):
+            break
         spark.catalog.clearCache()
         queries, n_docs = build_queries(spark)
         if only:
             keep = {q.strip() for q in only.split(",")}
+            unknown = keep - queries.keys()
+            if unknown:
+                raise SystemExit(
+                    f"SPARK_GRAFT_ONLY names not in bench queries: {sorted(unknown)}"
+                )
             queries = {k: v for k, v in queries.items() if k in keep}
         for name, fn in queries.items():
             t0 = time.time()
             c = fn()
             dt = round(time.time() - t0, 3)
-            if name in timings:
+            if name in counts:
                 assert counts[name] == c, f"{name}: count drifted across reps"
-                timings[name] = min(timings[name], dt)
-            else:
-                timings[name], counts[name] = dt, c
+            counts[name] = c
+            samples.setdefault(name, []).append(dt)
+    timings = {q: min(ts) for q, ts in samples.items()}
+    spread = {
+        q: round((sorted(ts)[1] - sorted(ts)[0]) / sorted(ts)[0], 3)
+        if len(ts) > 1 and sorted(ts)[0] > 0 else 0.0
+        for q, ts in samples.items()
+    }
     total = round(sum(timings.values()), 3)
-    sig_rows = IMAGES_N
-    sig_sec = timings["img_minhash_signatures"]
+    sig_sec = timings.get("img_minhash_signatures")
     result = {
         "metric": "near-dup dedup pipeline wall time (signatures+LSH+CC), local[%d]" % CPUS,
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "reps": len(next(iter(samples.values()))) if samples else 0,
         "counts": counts,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "images_n": IMAGES_N,
-        "signatures_per_sec": round(sig_rows / sig_sec, 1) if sig_sec else None,
+        "signatures_per_sec": round(IMAGES_N / sig_sec, 1) if sig_sec else None,
     }
     spark.stop()
     return result
@@ -313,6 +363,11 @@ def run_scaling() -> None:
         out = dict(rs[0])
         out["queries"] = {
             q: min(r["queries"][q] for r in rs) for q in rs[0]["queries"]
+        }
+        out["spread"] = {
+            q: round((ts[1] - ts[0]) / ts[0], 3) if len(ts) > 1 and ts[0] > 0 else 0.0
+            for q in rs[0]["queries"]
+            for ts in [sorted(r["queries"][q] for r in rs)]
         }
         out["value"] = round(sum(out["queries"].values()), 3)
         sig = out["queries"]["img_minhash_signatures"]

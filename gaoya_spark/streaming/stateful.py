@@ -60,7 +60,17 @@ def first_seen_stream(
     ttl_minutes=None dedups over the whole stream lifetime (state grows
     with distinct count); with a TTL, a bucket's seen-set is evicted after
     that long without traffic, bounding state for unbounded streams at the
-    cost of re-admitting duplicates older than the horizon."""
+    cost of re-admitting duplicates older than the horizon.
+
+    MEMORY BOUND: the deterministic tie-break materializes one (bucket x
+    micro-batch) group at a time in executor memory — peak per task ~
+    micro_batch_rows / n_buckets rows (ids + texts), times the skew factor
+    of the bucket hash (xxhash64 on text: near-uniform unless one text
+    value dominates, and exact duplicates of one value DO share a bucket
+    by design). Size n_buckets so micro_batch_rows / n_buckets fits a
+    task comfortably — e.g. 10M-row triggers want n_buckets >= 1024, not
+    the demo default of 64; with maxFilesPerTrigger/maxOffsetsPerTrigger
+    bounding the batch, state-store pressure, not this buffer, dominates."""
     out_schema = (
         f"{id_col} {dict(stream_df.dtypes)[id_col]}, "
         f"{text_col} string, bucket int"

@@ -456,3 +456,28 @@ def test_min_eq_count_float_boundaries():
         m = _m_sure_bands(t, k, r)
         assert (m * r) / k >= t
         assert m == 0 or ((m - 1) * r) / k < t
+
+
+def test_numpy_verify_guards_fall_back_to_jvm(spark, corpus5):
+    """_numpy_verify returns None (-> dedup_pairs takes the JVM shuffle
+    verify) when the signature table exceeds the broadcast-safe row bound;
+    dedup_pairs with numpy_verify=True must still yield the exact JVM-path
+    pair set in that case (the guard changes the PLAN, never the result)."""
+    import warnings
+
+    lsh, sigs = corpus5
+    cand = lsh.sid_candidates(sigs)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = lsh._numpy_verify(cand, sigs, 0.5, with_m=True, max_rows=2)
+    assert out is None
+    assert any("max_rows" in str(x.message) for x in w)
+    jvm = {
+        (r["src"], r["dst"])
+        for r in lsh.dedup_pairs(sigs, keep_sim=False).collect()
+    }
+    np_pairs = {
+        (r["src"], r["dst"])
+        for r in lsh.dedup_pairs(sigs, keep_sim=False, numpy_verify=True).collect()
+    }
+    assert jvm == np_pairs and jvm

@@ -61,6 +61,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     only = os.environ.get("SPARK_GRAFT_ONLY")
     if only:
         keep = {q.strip() for q in only.split(",")}
+        unknown = keep - qs.keys()
+        if unknown:
+            # a misspelled/stale name would otherwise filter to an empty
+            # dict and exit 0 — a vacuous green that looks like a pass
+            print(f"ERROR: SPARK_GRAFT_ONLY names not in queries(): {sorted(unknown)}")
+            spark.stop()
+            return 2
         qs = {k: v for k, v in qs.items() if k in keep}
     oq = entrymod.oracle_sql()
     failures = 0
