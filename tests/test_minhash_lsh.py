@@ -481,3 +481,51 @@ def test_numpy_verify_guards_fall_back_to_jvm(spark, corpus5):
         for r in lsh.dedup_pairs(sigs, keep_sim=False, numpy_verify=True).collect()
     }
     assert jvm == np_pairs and jvm
+
+
+def test_arrow_bands_jvm_bands_same_pairs(spark, corpus5):
+    """The Arrow band kernel (splitmix64 fold) and the JVM banding
+    (xxhash64 of slices) use different key functions but identical
+    semantics: equal slices in the same band collide. Candidate sets —
+    and therefore verified pair sets AND m multiplicities — must agree
+    (a divergence would mean a key collision, ~2^-64)."""
+    lsh, sigs = corpus5
+    arrow = {
+        (r["src"], r["dst"], r["m"])
+        for r in lsh.sid_candidates(sigs, arrow_bands=True).collect()
+    }
+    jvm = {
+        (r["src"], r["dst"], r["m"])
+        for r in lsh.sid_candidates(sigs, arrow_bands=False).collect()
+    }
+    assert arrow == jvm and arrow
+
+
+def test_fused_dedup_matches_jvm_all_tiers(spark):
+    """numpy_verify='fused' (bucket -> pair-gen -> verify in one kernel)
+    must produce the exact JVM-path pair set, including when tiny tier
+    limits force buckets through the medium (collapsed) and triangle
+    (block join + rowwise verify) tiers."""
+    from gaoya_spark.fixtures import corpus5_df
+
+    cfg = MinHashConfig(num_bands=42, band_width=3, threshold=0.5, tokenizer=WORD)
+    lsh = MinHashLSH(cfg)
+    sigs = lsh.signatures(corpus5_df(spark), "id", "text").cache()
+    sigs.count()
+    jvm = {
+        (r["src"], r["dst"])
+        for r in lsh.dedup_pairs(sigs, keep_sim=False).collect()
+    }
+    fused = {
+        (r["src"], r["dst"])
+        for r in lsh.dedup_pairs(sigs, keep_sim=False, numpy_verify="fused").collect()
+    }
+    assert fused == jvm and jvm
+    forced = {
+        (r["src"], r["dst"])
+        for r in lsh.dedup_pairs(
+            sigs, keep_sim=False, numpy_verify="fused",
+            max_bucket_size=2, medium_bucket_size=3,
+        ).collect()
+    }
+    assert forced == jvm
