@@ -20,16 +20,37 @@ qualifies. Rounds are O(log n)-ish on near-dup graphs (each round peels
 every locally-dominant star); each round is two groupBy aggregations and
 two joins over the surviving edges — no driver state, no collect.
 
-Divergence from the reference (documented): the sequential greedy claims
-one star at a time, letting every claim reshape the next center's
-neighborhood; a parallel round commits all locally-dominant centers at
-once. Shapes therefore match the (deterministic, degree-sorted)
-sequential greedy exactly where claims don't cascade — disjoint stars,
-paths, planted dup-families — and drift on dense random graphs while
-keeping coverage within a few percent of the sequential result
-(test_star_cluster asserts exact parity on the structured cases and
-coverage/invariants on random ones). Dup-pair recall is governed by
-connected components (cluster.py), not star shapes (SURVEY.md §3.3).
+Divergence from the reference (documented + tested): the sequential
+greedy claims one star at a time, letting every claim reshape the next
+center's neighborhood; a parallel round commits all locally-dominant
+centers against ONE degree snapshot. The divergence class is exactly
+**priority inversion under concurrent claims**: a center c that is
+locally dominant in the snapshot commits in the parallel round, but in
+the sequential schedule a higher-priority center's claim removes some of
+c's neighbors FIRST, dropping c's live degree so that a (now equal- or
+higher-priority) neighbor claims c as a MEMBER instead. Minimal example
+(test_star_cluster.py::test_divergence_class_priority_inversion):
+edges {0-3, 0-4, 1-2, 2-3} — snapshot degrees 0:2, 2:2, 3:2; parallel
+commits centers {0, 2} together (2 keeps member 1 after losing 3 to 0);
+sequential claims 0 first, 2's degree falls to 1, and node 1 (equal
+degree, smaller id) then claims 2 as a member. Where no such inversion
+occurs — disjoint stars, paths, planted dup-families — shapes match the
+sequential greedy exactly.
+
+Both schedules produce a valid MAXIMAL greedy star packing; the parallel
+invariants, asserted across ~50 seeded random graphs of varying density
+(test_star_cluster.py::test_random_graphs_contract):
+- every member is edge-adjacent to its center; centers map to themselves;
+- every cluster meets the size bound;
+- maximality: at convergence no unassigned node can form a qualifying
+  star among unassigned nodes (the globally max-priority node is always
+  locally dominant, so the loop cannot stop while one exists);
+- determinism (pure function of the edge set);
+- assigned-node coverage stays within a few percent of the sequential
+  result (the inversion reshuffles WHO centers a star far more often
+  than whether its nodes get clustered at all).
+Dup-pair recall is governed by connected components (cluster.py), not
+star shapes (SURVEY.md §3.3).
 """
 
 from __future__ import annotations

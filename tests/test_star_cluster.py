@@ -100,3 +100,73 @@ def test_cancellation_keeps_undersized_centers_unassigned_round(spark):
     got = _run(spark, edges, min_cluster_size=3)
     want = degree_greedy_oracle(sorted(edges), min_cluster_size=3)
     assert got == want == {1: 1, 3: 1, 4: 1, 5: 1, 6: 1}
+
+
+def test_divergence_class_priority_inversion(spark):
+    """THE documented divergence class between parallel peeling and the
+    sequential degree-sorted greedy (star_cluster.py module docstring):
+    priority inversion under concurrent claims. Edges {0-3, 0-4, 1-2,
+    2-3}: snapshot degrees 0:2, 2:2, 3:2. Parallel round 1 commits BOTH
+    locally-dominant centers {0, 2} against the same snapshot — 0 takes
+    {3, 4}, 2 loses the shared 3 to 0 but keeps {1}. Sequential claims 0
+    first; 2's live degree drops to 1, and node 1 (equal degree, smaller
+    id) then beats 2 and claims it as a MEMBER. Same covered nodes, same
+    0-star, different owner for the {1, 2} pair — both outputs are valid
+    maximal greedy star packings."""
+    edges = {(0, 3), (0, 4), (1, 2), (2, 3)}
+    got = _run(spark, edges, min_cluster_size=2)
+    want = degree_greedy_oracle(sorted(edges), min_cluster_size=2)
+    assert got == {0: 0, 3: 0, 4: 0, 1: 2, 2: 2}
+    assert want == {0: 0, 3: 0, 4: 0, 1: 1, 2: 1}
+    assert set(got) == set(want)  # coverage identical, ownership differs
+
+
+def _assert_contract(edges, got, want, need=1):
+    """The output contract every schedule of the greedy must satisfy —
+    asserted for the parallel result against the sequential oracle."""
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    from collections import Counter
+
+    sizes = Counter(got.values())
+    for v, c in got.items():
+        assert got[c] == c, f"center {c} must map to itself"
+        if v != c:
+            assert c in nbrs[v], f"member {v} not adjacent to center {c}"
+    assert all(s >= need + 1 for s in sizes.values())
+    # maximality: no qualifying star among unassigned nodes (for need=1:
+    # no surviving edge between two unassigned nodes)
+    unassigned = set(nbrs) - set(got)
+    for v in unassigned:
+        assert len(nbrs[v] & unassigned) < need, (
+            f"unassigned {v} still qualifies as a center"
+        )
+    # coverage tracks the sequential greedy
+    n = len(nbrs)
+    assert abs(len(got) - len(want)) <= max(3, n // 10)
+
+
+@pytest.mark.parametrize("density,n,m", [
+    ("sparse", 80, 60), ("medium", 80, 140), ("dense", 60, 300),
+])
+@pytest.mark.parametrize("seed", list(range(16)))
+def test_random_graphs_contract(spark, density, n, m, seed):
+    """~50 seeded random graphs across densities: the parallel result
+    must satisfy the full greedy-star-packing contract (adjacency,
+    self-mapped centers, size bound, MAXIMALITY, coverage within 10% of
+    the sequential oracle) — exact shape parity is not promised on
+    random graphs (see the priority-inversion divergence class), the
+    contract is."""
+    rng = np.random.default_rng(seed * 7 + 1)
+    edges = sorted(
+        {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.integers(0, n, size=(m, 2))
+            if a != b
+        }
+    )
+    got = _run(spark, edges, min_cluster_size=2)
+    want = degree_greedy_oracle(edges, min_cluster_size=2)
+    _assert_contract(edges, got, want)
