@@ -69,13 +69,16 @@ def main() -> None:
 
     # Scale config: WIDER bands than the reference's 50x4 benchmark config.
     # The false-candidate rate per doc is ~ n * b * s_bg^r (s_bg = background
-    # similarity of unrelated captions, ~0.3 here): at 10x the corpus, r=6
-    # cuts false candidates ~15x vs r=4, holding verify volume near-linear.
-    # Collision probability at true-dup sims stays high (p(0.7)=0.988,
-    # p(0.8)=0.9999); the planted-truth recall is measured below — the
-    # recall/volume trade is the knob a 10^12 deployment tunes (same move
-    # the reference's calculate_minhash_params makes for recall, inverted).
-    b, r = int(os.environ.get("SCALE_DEMO_B", "37")), int(os.environ.get("SCALE_DEMO_R", "6"))
+    # similarity of unrelated captions, ~0.3 here): at 10x the corpus, r>=5
+    # cuts false candidates >=4x vs r=4, holding verify volume near-linear.
+    # 39x5 is calculate_b_and_r(0.7, 195) — P17's own answer for detection
+    # >=0.99 at sim 0.7 — chosen over the earlier 37x6 because the QUERY
+    # path has no transitive closure to recover missed direct pairs: 37x6's
+    # detection floor measured probe recall 0.9884 (round-4 artifact),
+    # under the north rule's 0.99; 39x5 raises per-pair detection at
+    # borderline sims (s=0.6: 0.958 vs 0.83) for ~3.3x the false-candidate
+    # rate — still ~4x under 50x4. Dedup+CC recall is 1.0 under both.
+    b, r = int(os.environ.get("SCALE_DEMO_B", "39")), int(os.environ.get("SCALE_DEMO_R", "5"))
     cfg = MinHashConfig(
         num_bands=b, band_width=r, threshold=0.5,
         tokenizer=TokenizerSpec(kind="char", n_from=3, n_to=4, lowercase=True),
@@ -181,6 +184,53 @@ def main() -> None:
     )
     sigs_p.unpersist(); pairs_p.unpersist()
 
+    # ---- streaming replay at stress scale (round-5): the same corpus
+    # ingested as a file stream in ~10 micro-batches through StreamingDedup
+    # (foreachBatch: batch-internal dedup + bipartite query vs the standing
+    # index, batch_id-keyed idempotent writes). The union of streamed edges,
+    # canonicalized, must EQUAL the batch pipeline's pair set — incremental
+    # ingestion changes the schedule, never the result.
+    import glob
+    import shutil
+
+    from gaoya_spark.sources.warehouse import Warehouse
+    from gaoya_spark.streaming.stream_dedup import StreamingDedup
+
+    stream_root = f"/tmp/gaoya_scale_stream_{N}"
+    shutil.rmtree(stream_root, ignore_errors=True)
+    wh = Warehouse(spark, f"{stream_root}/wh")
+    sd = StreamingDedup(spark, wh, cfg)
+    n_files = len(glob.glob(f"{path}/part-*"))
+    per_trigger = max(1, (n_files + 9) // 10)
+    t0 = time.time()
+    stream_df = (
+        spark.readStream.schema(images.schema)
+        .option("maxFilesPerTrigger", per_trigger)
+        .parquet(path)
+    )
+    q = sd.start(stream_df, f"{stream_root}/ckpt")
+    q.awaitTermination(3600)
+    t_stream = time.time() - t0
+    n_batches = len(
+        wh.read("stream_edges").select("batch_id").distinct().collect()
+    )
+    stream_edges = (
+        wh.read("stream_edges")
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    n_stream_edges = stream_edges.count()
+    n_edge_diff = (
+        stream_edges.join(pairs, ["src", "dst"], "left_anti").count()
+        + pairs.join(stream_edges, ["src", "dst"], "left_anti").count()
+    )
+    assert n_edge_diff == 0, (
+        f"streamed edge set diverges from batch pairs: {n_edge_diff} rows"
+    )
+
     print(json.dumps({
         "n_images": n_rows,
         "band_config": {"b": b, "r": r, "num_hashes": b * r},
@@ -211,6 +261,13 @@ def main() -> None:
             "hot_buckets": int(st["hot"] or 0),
             "dropped_buckets": int(st["dropped"] or 0),
             "dup_pair_recall": round(recall_patho, 4),
+        },
+        "streaming_replay": {
+            "micro_batches": n_batches,
+            "wall_sec": round(t_stream, 1),
+            "stream_edges": n_stream_edges,
+            "batch_pairs": n_pairs,
+            "edge_set_diff": n_edge_diff,
         },
         "cpus": CPUS,
     }))
