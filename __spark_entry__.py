@@ -194,6 +194,17 @@ def _q_minhash_dedup_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_dedup_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused bucket->pair-gen->verify dedup path (dedup_pairs(
+    numpy_verify="fused")): one Arrow kernel generates each bucket's
+    pairs in numpy and verifies them against the broadcast signature
+    matrix in the same pass; only survivors shuffle. Same fully-verified
+    pair set as every other dedup strategy — the oracle is identical."""
+    lsh = MinHashLSH(ORACLE_MINHASH)
+    sigs = _minhash_sigs_oracle(spark, sf_dir)
+    return lsh.dedup_pairs(sigs, keep_sim=False, numpy_verify="fused")
+
+
 def _q_simhash_hamming_angle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P16 hamming_angle (simhash/mod.rs:77-80) over the Hamming-ball
     pairs: angle = dist * pi / nbits, computed by hamming_angle_col on the
@@ -709,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_top_k": _q_simhash_top_k,
         "minhash_dedup_fast": _q_minhash_dedup_fast,
         "minhash_dedup_numpy": _q_minhash_dedup_numpy,
+        "minhash_dedup_fused": _q_minhash_dedup_fused,
         "simhash128_signature": _q_simhash128_signature,
         "simhash128_hamming_pairs": _q_simhash128_hamming_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -1113,6 +1125,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_band_pairs": _sql_minhash_pairs(),
         "minhash_dedup_fast": _sql_minhash_pairs(with_sim=False),
         "minhash_dedup_numpy": _sql_minhash_pairs(with_sim=False),
+        "minhash_dedup_fused": _sql_minhash_pairs(with_sim=False),
         "simhash_hamming_angle_pairs": (
             f"WITH {_sql_simhash_sig()} "
             "SELECT a.doc_id AS src, b.doc_id AS dst, "
