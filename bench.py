@@ -316,6 +316,12 @@ def _analysis_notes(results: dict) -> str:
         "  measured efficiency to 0.84 but made BOTH absolute times worse;\n"
         "  it was rejected. The committed configuration is the fastest\n"
         "  absolute at every level measured.\n"
+        "- Workload sized so every heavy img stage is well over 30s at the\n"
+        "  narrow level (round-5: IMAGES_N=400k), amortizing scheduler +\n"
+        "  python-worker warmup latency that dominated the 3-22s stages of\n"
+        "  earlier rounds' 100k runs. Order-of-magnitude stress results\n"
+        "  (1M images: recall, streaming replay, pathology drop-cap) live\n"
+        "  in BENCH/STRESS_1M.md.\n"
     )
 
 
@@ -399,7 +405,8 @@ def run_scaling() -> None:
             f"| local[8] | {t_hi} | {sig_hi} |\n\n"
             f"- speedup 2 -> 8 cores (4x): **{speedup:.2f}x** over the full suite\n"
             f"- full-suite scaling efficiency = speedup / 4 = **{eff:.3f}**\n"
-            f"- 100k-image pipeline stages only (img_*): {round(i_lo,3)}s -> {round(i_hi,3)}s, "
+            f"- {IMAGES_N // 1000}k-image pipeline stages only (img_*): "
+            f"{round(i_lo,3)}s -> {round(i_hi,3)}s, "
             f"efficiency **{img_eff:.3f}** (target >= 0.8 per north rule; the "
             "sf0.1 document queries are seconds-scale and latency-bound, so "
             "they dilute the throughput signal)\n\n"
