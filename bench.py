@@ -190,12 +190,18 @@ def _total_ram_gb() -> float:
 def _converged(samples: dict[str, list[float]], rel: float, abs_floor: float) -> bool:
     """True when, for EVERY query, the two best timings agree within
     rel (or abs_floor seconds for sub-second stages, where scheduler
-    jitter dominates and relative spread is meaningless)."""
+    jitter dominates and relative spread is meaningless) AND the latest
+    rep did not set a new minimum by >5% — a rep that still improves the
+    best means JVM/JIT/page-cache warming is still under way and the
+    plateau has not been reached (measured: dedup falling 6.0 -> 5.8 ->
+    4.8 across reps while the two-best rule would already have stopped)."""
     for ts in samples.values():
         if len(ts) < 2:
             return False
         best, second = sorted(ts)[:2]
         if (second - best) > max(rel * best, abs_floor):
+            return False
+        if ts[-1] == best and (second - best) > max(0.05 * best, 0.1):
             return False
     return True
 
