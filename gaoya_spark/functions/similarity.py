@@ -94,7 +94,7 @@ def minhash_eq_count_packed(
     expressions, not a higher-order aggregate() fold: Spark evaluates
     higher-order functions interpreted per element, while the flat tree
     stays inside whole-stage codegen — measured 1.6-1.9x faster on the
-    6.6-7.4M-candidate bench verifies (PLANS.md experiment ledger; balanced
+    6.6-7.4M-candidate bench verifies (EXPERIMENTS.md ledger; balanced
     rather than left-leaning so codegen nesting depth is log n). Beyond
     _FLAT_KERNEL_MAX_WORDS words the expression tree would strain codegen
     method limits, so huge-k configs fall back to the aggregate fold."""

@@ -220,7 +220,7 @@ def sid_pairs_from_buckets(
     # gate=True runs one stats pass over the persisted buckets to prune
     # empty upper tiers from the plan — but the blocking collect serializes
     # the pipeline and measured a consistent ~1-4s net LOSS on the bench
-    # corpora (dedup 7.0s ungated vs 8.0s gated, PLANS.md ledger, MIN
+    # corpora (dedup 7.0s ungated vs 8.0s gated, EXPERIMENTS.md ledger, MIN
     # of 3), because the always-on tiers cost only near-empty AQE stages.
     # Default is therefore gate=False (tiers always in the plan, exactness
     # unaffected); gate=True remains for configs whose tier filters are

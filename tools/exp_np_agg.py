@@ -19,7 +19,7 @@ Findings:
     aggregation also collapses 17.6M raw emissions to 7.4M candidates
     BEFORE the kernel — agg wins 4.5x. On the mostly-m=1 image corpus
     the two are a tie (6.5s both).
-(2) The earlier raw-candidates win (retired exp_verify.py, PLANS.md ledger)
+(2) The earlier raw-candidates win (retired exp_verify.py, EXPERIMENTS.md ledger)
     (np 3.59 raw vs 5.68 jvm) was measured with the OLD kernel that
     still ran two sid->id broadcast joins after the dedupe — the joins
     were what raw mode was avoiding. With them gone, raw mode has no

@@ -50,12 +50,17 @@ def main():
         "minhash signatures over images parquet "
         "(EXPECT: ReadSchema only image_id/caption/phash — bytes pruned; "
         "one ArrowEvalPython node)": sigs,
-        "banding (EXPECT: pure project/generate, no Python, no shuffle)":
-            mh.bands(sigs),
-        "sid candidates (EXPECT: ONE exchange on the band key feeding an "
-        "ObjectHashAggregate collect_list, pair explosion as pure "
-        "project/generate — no self-join, no dropDuplicates — then the "
-        "(src,dst) count aggregate; no Python)": mh.sid_candidates(sigs),
+        "banding, public view (EXPECT: pure project/generate, no Python, "
+        "no shuffle)": mh.bands(sigs),
+        "sid candidates (EXPECT: ONE MapInPandas node — the vectorized "
+        "Arrow band kernel, round 5 — feeding ONE exchange on the band "
+        "key into an ObjectHashAggregate collect_list, pair explosion as "
+        "pure project/generate — no self-join, no dropDuplicates — then "
+        "the (src,dst) count aggregate)": mh.sid_candidates(sigs),
+        "sid candidates, JVM banding variant (EXPECT: the same plan with "
+        "the band keys as xxhash64-of-slice projections instead of the "
+        "Python node — kept for contexts without Arrow workers)":
+            mh.sid_candidates(sigs, arrow_bands=False),
         "dedup pairs end-to-end (EXPECT: the candidate plan above, then "
         "the equal-count as a FLAT balanced tree of per-word packed-XOR "
         "terms inside WholeStageCodegen (no higher-order aggregate — HOFs "
@@ -70,6 +75,13 @@ def main():
         "original ids from the same already-shipped broadcast)": mh.dedup_pairs(
             sigs, keep_sim=False, numpy_verify=True, raw_candidates=True
         ),
+        "dedup pairs, fused bucket verify (EXPECT: the bucket "
+        "collect_list aggregate feeds a MapInPandas kernel DIRECTLY — "
+        "pair generation and signature verify fused in numpy, no pair "
+        "explosion, no candidate aggregate — union with the (empty at "
+        "this scale) collapsed-medium and triangle tiers, then ONE "
+        "narrow survivors dropDuplicates exchange and the id-attach "
+        "kernel)": mh.dedup_pairs(sigs, keep_sim=False, numpy_verify="fused"),
         "simhash tables (EXPECT: project+generate only)": sh.tables(
             sh.signatures(images, "image_id", "caption")
         ),
