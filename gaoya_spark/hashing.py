@@ -406,6 +406,19 @@ def _reduceat_min(mat: np.ndarray, starts: np.ndarray, counts: np.ndarray):
     return out
 
 
+def _reduceat_min_t(mat_t: np.ndarray, starts: np.ndarray, counts: np.ndarray):
+    """_reduceat_min for a TRANSPOSED (k_tile, tokens) C-contiguous tile:
+    reduceat along axis=1 reduces contiguous per-doc segments, measured
+    ~9x faster than the axis=0 row-strided reduction (0.04ms vs 0.36ms
+    per 4096x64 tile) — the doc-min was ~40% of the signature kernel.
+    Returns (n_docs, k_tile) with empty docs zeroed (P9)."""
+    out = np.zeros((len(counts), mat_t.shape[0]), dtype=mat_t.dtype)
+    nonempty = counts > 0
+    if nonempty.any():
+        out[nonempty] = np.minimum.reduceat(mat_t, starts[nonempty], axis=1).T
+    return out
+
+
 def _mod_mersenne31_inplace(m: np.ndarray) -> np.ndarray:
     """x % (2^31 - 1) for uint32 x, in place, without integer division:
     x = hi*2^31 + lo with hi in {0,1}  =>  x mod P = (lo + hi) mod P."""
@@ -466,7 +479,12 @@ def minhash_signatures(
             if len(h) == 0:
                 out[lo:hi] = 0
                 continue
-            hcol = h[:, None]
+            # tiles are computed TRANSPOSED — (k_tile, tokens) C-contiguous —
+            # so the per-doc min reduces contiguous segments (axis=1):
+            # measured ~9x faster than the axis=0 reduction and ~1.5x on
+            # the whole kernel (EXPERIMENTS.md ledger). Arithmetic is
+            # orientation-independent and bit-identical.
+            hrow = h[None, :]
             rel_starts = starts[lo:hi] - t0
             cnts = doc_token_counts[lo:hi]
             for kt in range(0, k, _K_TILE):
@@ -475,16 +493,16 @@ def minhash_signatures(
                     # u32 wrapping mul/add then mod 2^31-1 — exactly the
                     # reference formula; Mersenne reduction via shift/mask
                     # (integer % is the slowest op here)
-                    m = np.multiply(hcol, a_c[None, kt:ke], out=None)
-                    m += b_c[None, kt:ke]
+                    m = np.multiply(a_c[kt:ke, None], hrow, out=None)
+                    m += b_c[kt:ke, None]
                     _mod_mersenne31_inplace(m)
                 elif formula == "gaoya":
-                    m = (hcol * a_c[None, kt:ke]) + b_c[None, kt:ke]
+                    m = (a_c[kt:ke, None] * hrow) + b_c[kt:ke, None]
                     m %= np.uint64(MERSENNE_PRIME_61)
                 else:
-                    m = (hcol * a_c[None, kt:ke]) + b_c[None, kt:ke]
+                    m = (a_c[kt:ke, None] * hrow) + b_c[kt:ke, None]
                     m %= np.uint64(MERSENNE_PRIME_31)
-                out[lo:hi, kt:ke] = _reduceat_min(m, rel_starts, cnts)
+                out[lo:hi, kt:ke] = _reduceat_min_t(m, rel_starts, cnts)
     return _truncate(out.astype(np.uint64), hash_size, formula)
 
 
