@@ -430,6 +430,19 @@ def _mod_mersenne31_inplace(m: np.ndarray) -> np.ndarray:
     return m
 
 
+def _mod_mersenne61_inplace_u64(m: np.ndarray) -> np.ndarray:
+    """x % (2^61 - 1) for uint64 x, in place, via Mersenne folding
+    (integer division is the slowest vector op): one fold brings
+    x = hi*2^61 + lo to (lo + hi) <= (2^61-1) + 7, one conditional
+    subtract finishes."""
+    P = np.uint64(MERSENNE_PRIME_61)
+    hi = m >> np.uint64(61)
+    m &= P
+    m += hi
+    np.subtract(m, P, out=m, where=m >= P)
+    return m
+
+
 def minhash_signatures(
     token_hashes: np.ndarray,
     doc_token_counts: np.ndarray,
@@ -469,7 +482,6 @@ def minhash_signatures(
     # K_TILE) tile stays cache-resident
     per_doc = max(int(doc_token_counts.mean()), 1)
     docs_per_chunk = max(_TOKENS_PER_CHUNK // per_doc, 1)
-    m_buf = None
     with np.errstate(over="ignore"):
         for lo in range(0, n_docs, docs_per_chunk):
             hi = min(lo + docs_per_chunk, n_docs)
@@ -498,8 +510,12 @@ def minhash_signatures(
                     _mod_mersenne31_inplace(m)
                 elif formula == "gaoya":
                     m = (a_c[kt:ke, None] * hrow) + b_c[kt:ke, None]
-                    m %= np.uint64(MERSENNE_PRIME_61)
+                    _mod_mersenne61_inplace_u64(m)
                 else:
+                    # u64 % stays: the two-fold Mersenne-31 reduction on
+                    # u64 measured SLOWER than hardware division (1.12 vs
+                    # 0.98 ms/tile) — only the single-fold 61-bit variant
+                    # wins (EXPERIMENTS.md ledger)
                     m = (a_c[kt:ke, None] * hrow) + b_c[kt:ke, None]
                     m %= np.uint64(MERSENNE_PRIME_31)
                 out[lo:hi, kt:ke] = _reduceat_min_t(m, rel_starts, cnts)
