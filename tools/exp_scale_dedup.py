@@ -1,8 +1,10 @@
 """Scale-path dedup scaling: the DEFAULT shuffle-verify dedup_pairs
 (the configuration a real cluster runs at 10^12 rows, where no
 signature broadcast fits) timed at local[2] vs local[8] on the same
-100k-image input — the N -> 4N stand-in applied to the exact path the
-north rule's scaling claim is about.
+image input ($SPARK_GRAFT_BENCH_IMAGES rows, default 100k; the round-5
+artifact uses 400k so the stage is minutes-long and latency-free) —
+the N -> 4N stand-in applied to the exact path the north rule's
+scaling claim is about.
 
 bench.py's img_minhash_dedup uses numpy_verify (fastest absolute on a
 single box, small-table gated); this tool evidences that the
@@ -38,8 +40,9 @@ from gaoya_spark.session import get_spark
 
 spark = get_spark("scale_dedup", cores=cpus)
 char34 = TokenizerSpec(kind="char", n_from=3, n_to=4, lowercase=True)
+n_img = os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "100000")
 images = (
-    spark.read.parquet("/tmp/gaoya_bench_images_100000")
+    spark.read.parquet(f"/tmp/gaoya_bench_images_{n_img}")
     .repartition(cpus * 3)
     .cache()
 )
@@ -61,7 +64,7 @@ spark.stop()
 def run_level(cpus: int) -> tuple[float, int]:
     out = subprocess.run(
         [sys.executable, "-c", CHILD, str(cpus)],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT"):
