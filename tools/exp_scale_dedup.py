@@ -40,9 +40,8 @@ from gaoya_spark.session import get_spark
 
 spark = get_spark("scale_dedup", cores=cpus)
 char34 = TokenizerSpec(kind="char", n_from=3, n_to=4, lowercase=True)
-n_img = os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "100000")
 images = (
-    spark.read.parquet(f"/tmp/gaoya_bench_images_{n_img}")
+    spark.read.parquet({img_path!r})
     .repartition(cpus * 3)
     .cache()
 )
@@ -58,7 +57,11 @@ t0 = time.time()
 n = mh.dedup_pairs(sigs, keep_sim=False).count()
 print("RESULT", time.time() - t0, n, flush=True)
 spark.stop()
-""".format(repo=REPO)
+""".format(
+    repo=REPO,
+    img_path="/tmp/gaoya_bench_images_"
+    + os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "100000"),
+)
 
 
 def run_level(cpus: int) -> tuple[float, int]:
