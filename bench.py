@@ -33,12 +33,18 @@ for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
 
 
 def _force(df):
-    """Materialize a DataFrame fully (count alone can let Catalyst prune
-    UDF-computed columns)."""
+    """Materialize a DataFrame fully: aggregate over EVERY column so
+    Catalyst cannot prune any of them. Referencing only the first column
+    was a measurement bug (caught round 5): on the uncached simhash
+    stage the plan dropped the signature UDF entirely — the id-only
+    aggregate ran in 0.79s where the real computation takes 6.6s
+    (EXPERIMENTS.md ledger). Cached frames were unaffected (the columnar
+    cache materializes the full cached plan), which is why the minhash
+    stages measured correctly."""
     from pyspark.sql import functions as F
 
     cols = df.columns
-    return df.agg(F.count("*"), *[F.max(c) for c in cols[:1]]).collect()[0][0]
+    return df.agg(F.count("*"), *[F.max(c) for c in cols]).collect()[0][0]
 
 
 def build_queries(spark):
