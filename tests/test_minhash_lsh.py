@@ -529,3 +529,24 @@ def test_fused_dedup_matches_jvm_all_tiers(spark):
         ).collect()
     }
     assert forced == jvm
+
+
+@pytest.mark.parametrize("strategy", [
+    {}, {"numpy_verify": True}, {"numpy_verify": "fused"},
+    {"numpy_verify": True, "raw_candidates": True},
+])
+def test_dedup_strategies_empty_and_singleton(spark, strategy):
+    """Every dedup strategy must return an empty (src, dst) frame — with
+    the id-typed schema — on an empty corpus and on a single-doc corpus
+    (no pair can exist), without erroring in broadcast build, banding,
+    bucket kernels, or verify."""
+    cfg = MinHashConfig(num_bands=8, band_width=2, threshold=0.5, tokenizer=WORD)
+    lsh = MinHashLSH(cfg)
+    empty = spark.createDataFrame([], "id string, text string")
+    one = spark.createDataFrame([("a", "lone document text")], "id string, text string")
+    for df in (empty, one):
+        sigs = lsh.signatures(df, "id", "text")
+        out = lsh.dedup_pairs(sigs, keep_sim=False, **strategy)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields][:2] == ["src", "dst"]
+        assert dict(out.dtypes)["src"] == "string"
