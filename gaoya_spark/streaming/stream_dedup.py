@@ -65,13 +65,26 @@ class StreamingDedup:
             )
         else:
             index = None
+        # the maintained band index (the reference's per-band hash maps as
+        # a table, W1/Q1): each batch appends its own (sid, bk) rows below
+        # and probes the ACCUMULATED rows here, so the standing index is
+        # never re-banded — at 10^12 rows, re-hashing b bands per index
+        # row per micro-batch would dwarf the batch's own work
+        if index is not None and self.wh.exists("stream_bands"):
+            index_bands = self.wh.read("stream_bands").where(
+                F.col("batch_id") != batch_id
+            )
+        else:
+            index_bands = None
 
         # edges inside the batch
         edges = self.lsh.dedup_pairs(new_sigs).select("src", "dst")
         if index is not None:
             # edges between batch and the standing index (probe = new rows)
             vs_index = (
-                self.lsh.query(index, new_sigs, keep_sim=False)
+                self.lsh.query(
+                    index, new_sigs, keep_sim=False, index_bands=index_bands
+                )
                 .where(F.col("qid") != F.col("id"))
                 .select(F.col("qid").alias("src"), F.col("id").alias("dst"))
             )
@@ -114,6 +127,11 @@ class StreamingDedup:
         bid = F.lit(batch_id)
         self.wh.overwrite_partitions(
             new_sigs.withColumn("batch_id", bid), "stream_signatures", ["batch_id"]
+        )
+        self.wh.overwrite_partitions(
+            self.lsh.sid_bands(new_sigs).withColumn("batch_id", bid),
+            "stream_bands",
+            ["batch_id"],
         )
         self.wh.overwrite_partitions(
             edges.withColumn("batch_id", bid), "stream_edges", ["batch_id"]

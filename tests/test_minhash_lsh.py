@@ -550,3 +550,27 @@ def test_dedup_strategies_empty_and_singleton(spark, strategy):
         assert out.count() == 0
         assert [f.name for f in out.schema.fields][:2] == ["src", "dst"]
         assert dict(out.dtypes)["src"] == "string"
+
+
+def test_query_with_precomputed_index_bands(spark, corpus5):
+    """query(index_bands=sid_bands(index)) — the maintained-band-table
+    path (the reference's insert-updates-tables / query-probes-tables
+    contract) — must return exactly the re-banding path's matches, and
+    stale EXTRA band rows (a removed doc) must be harmless: their
+    candidates find no signature in the verify join."""
+    lsh, sigs = corpus5
+    bands = lsh.sid_bands(sigs)
+    base = {(r["qid"], r["id"]) for r in lsh.query(sigs, sigs).collect()}
+    with_tbl = {
+        (r["qid"], r["id"])
+        for r in lsh.query(sigs, sigs, index_bands=bands).collect()
+    }
+    assert with_tbl == base and base
+    # removal: drop doc 0's signatures but leave its band rows stale
+    kept = sigs.where("id <> 0")
+    after_rm = {
+        (r["qid"], r["id"])
+        for r in lsh.query(kept, kept, index_bands=bands).collect()
+    }
+    want_rm = {(q, i) for q, i in base if q != 0 and i != 0}
+    assert after_rm == want_rm
