@@ -315,6 +315,15 @@ class SimHashLSH:
         )
 
     # ----------------------------------------------------------------- query
+    def sid_tables(self, sig_df: DataFrame) -> DataFrame:
+        """Public (sid, tk) table-key rows — the persisted-index artifact
+        (the reference's per-table HashMaps, sim_hash_index.rs): insert =
+        append these 16-byte rows, query = probe them via
+        query(..., index_tables=) so the standing index is never
+        re-keyed per probe batch (the SimHash counterpart of
+        MinHashLSH.sid_bands)."""
+        return self._sid_tables(sig_df).select("sid", "tk")
+
     def query(
         self,
         index_sigs: DataFrame,
@@ -322,6 +331,7 @@ class SimHashLSH:
         max_distance: int | None = None,
         keep_distance: bool = False,
         sorted_by_distance: bool = False,
+        index_tables: DataFrame | None = None,
     ) -> DataFrame:
         """Q9: (qid, id[, dist]) with dist < max_distance (strict).
         Candidates come from the bipartite bucket machinery (side-tagged
@@ -333,13 +343,23 @@ class SimHashLSH:
         as a (qid, dist, id) orderBy — note a DataFrame's ordering is a
         presentation property (any further transformation may drop it), so
         downstream code should use query_top_k / query_one rather than
-        relying on row order."""
+        relying on row order.
+
+        index_tables: precomputed (sid, tk) rows from sid_tables() — the
+        maintained-index path; stale extra rows (removed docs) only
+        produce candidates that vanish in the signature join, but missing
+        rows lose recall (same contract as MinHash index_bands)."""
         from gaoya_spark.operators._bucket_pairs import sid_cross_pairs_from_buckets
 
         d = self.cfg.max_distance if max_distance is None else max_distance
+        it = (
+            index_tables.select("sid", "tk")
+            if index_tables is not None
+            else self._sid_tables(index_sigs)
+        )
         cand = sid_cross_pairs_from_buckets(
             self._sid_tables(probe_sigs).select("sid", F.col("tk").alias("bk")),
-            self._sid_tables(index_sigs).select("sid", F.col("tk").alias("bk")),
+            it.select("sid", F.col("tk").alias("bk")),
         )
         qs = probe_sigs.select(
             F.xxhash64("id").alias("qid"),

@@ -248,3 +248,33 @@ def test_hamming_angle_col(spark):
     got = df.select(hamming_angle_col("a", "b", 64).alias("ang")).collect()
     assert abs(got[0]["ang"] - math.pi / 64) < 1e-12
     assert got[1]["ang"] == 0.0
+
+
+def test_query_with_precomputed_index_tables(spark):
+    """query(index_tables=sid_tables(index)) — the maintained-table path —
+    must equal the re-keying path exactly, and stale rows from removed
+    docs must be harmless."""
+    from gaoya_spark.config import SimHashConfig, TokenizerSpec
+    from gaoya_spark.fixtures import corpus5_df
+    from gaoya_spark.operators.simhash_lsh import SimHashLSH
+
+    cfg = SimHashConfig(
+        nbits=64, num_blocks=8, max_distance=6,
+        tokenizer=TokenizerSpec(kind="word", n_from=1, n_to=1, lowercase=True),
+    )
+    lsh = SimHashLSH(cfg)
+    sigs = lsh.signatures(corpus5_df(spark), "id", "text").cache()
+    sigs.count()
+    tables = lsh.sid_tables(sigs)
+    base = {(r["qid"], r["id"]) for r in lsh.query(sigs, sigs).collect()}
+    with_tbl = {
+        (r["qid"], r["id"])
+        for r in lsh.query(sigs, sigs, index_tables=tables).collect()
+    }
+    assert with_tbl == base and base
+    kept = sigs.where("id <> 0")
+    after_rm = {
+        (r["qid"], r["id"])
+        for r in lsh.query(kept, kept, index_tables=tables).collect()
+    }
+    assert after_rm == {(q, i) for q, i in base if q != 0 and i != 0}
