@@ -17,10 +17,17 @@ resumable, and unbounded-size (executor state stores are not designed for
 
 Checkpointing: Spark's streaming checkpointLocation gives exactly-once
 batch ids, and every warehouse write here is keyed by that batch id: the
-three stream tables are partitioned by batch_id and written with dynamic
-partition overwrite, so a foreachBatch replay (Spark re-runs the same
-batch_id after a mid-batch failure) rewrites its own partition instead of
-double-appending — idempotent by construction.
+four stream tables (signatures, bands, edges, labels) are partitioned by
+batch_id and written with dynamic partition overwrite, so a foreachBatch
+replay (Spark re-runs the same batch_id after a mid-batch failure)
+rewrites its own partition instead of double-appending — idempotent by
+construction.
+
+The bands table is the maintained LSH index (the reference's per-band
+hash maps as a table): each batch appends only its own (sid, bk) rows
+and probes the accumulated table via query(index_bands=...), so the
+standing index is never re-banded — insert cost is proportional to the
+batch, not the corpus.
 """
 
 from __future__ import annotations

@@ -30,6 +30,26 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
     os.environ.setdefault(_v, "1")
 
+# heap sized with parallelism like bench.py (3g/core, RAM-clamped): the
+# demo holds the 1M inputs + signatures + pairs caches while running
+# bucket collect_list aggregates; the 8g get_spark default OOMed mid-
+# streaming at this scale (ObjectAggregationIterator heap exhaustion)
+def _ram_gb() -> float:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return 64.0
+
+
+os.environ.setdefault(
+    "SPARK_GRAFT_DRIVER_MEM",
+    f"{max(2, min(3 * CPUS, 72, int(0.8 * _ram_gb())))}g",
+)
+
 
 def main() -> None:
     from gaoya_spark.config import MinHashConfig, TokenizerSpec
@@ -195,6 +215,12 @@ def main() -> None:
 
     from gaoya_spark.sources.warehouse import Warehouse
     from gaoya_spark.streaming.stream_dedup import StreamingDedup
+
+    # the batch-phase caches are dead weight for the streaming replay
+    # (it reads the corpus from parquet and builds its own state); only
+    # `pairs` is still needed, for the edge-set equality check
+    images.unpersist()
+    sigs.unpersist()
 
     stream_root = f"/tmp/gaoya_scale_stream_{N}"
     shutil.rmtree(stream_root, ignore_errors=True)
