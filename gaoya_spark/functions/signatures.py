@@ -49,11 +49,19 @@ def _batch_tokens(texts: pd.Series, cfg, phash: pd.Series | None):
     Python tokenizer with batch hashing. phash features (north rule) are
     numeric splitmix64 hashes, identical in both paths."""
     tk = cfg.tokenizer
-    if tk.analyzer is None and tk.kind == "char" and cfg.token_hasher == "fnv1a":
-        hashes, counts = hashing.fnv1a_char_shingles_batch(
-            list(texts), tk.n_from, tk.n_to, tk.lowercase
-        )
-    else:
+    hashes = counts = None
+    if tk.analyzer is None and cfg.token_hasher == "fnv1a":
+        if tk.kind == "char":
+            hashes, counts = hashing.fnv1a_char_shingles_batch(
+                list(texts), tk.n_from, tk.n_to, tk.lowercase
+            )
+        elif tk.kind == "word" and tk.n_from == 1 and tk.n_to == 1:
+            # vectorized word path (bit-identical to the Python tokenizer;
+            # None = non-ASCII batch, fall through to the per-row path)
+            res = hashing.fnv1a_word_tokens_batch(list(texts), tk.lowercase)
+            if res is not None:
+                hashes, counts = res
+    if hashes is None:
         tok_lists = [tokenize(t, tk) for t in texts]
         counts = np.fromiter(
             (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
@@ -155,23 +163,43 @@ def make_simhash_udf(cfg: SimHashConfig, with_phash: bool = False):
     wide = cfg.nbits == 128
 
     def compute(texts: pd.Series, phash: pd.Series | None) -> pd.Series:
-        tok_lists = [tokenize(t, cfg.tokenizer) for t in texts]
-        counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
-        flat = [t for toks in tok_lists for t in toks]
+        tk = cfg.tokenizer
         ph = None
         if phash is not None and cfg.phash_vote_weight > 0:
             ph = phash.fillna(0).to_numpy(dtype=np.int64)
-        if wide:
-            lo_h, hi_h = hashing.hash_tokens_128(flat, cfg.token_hasher)
-            lo, hi = hashing.simhash_signatures128(
-                lo_h, hi_h, counts, ph, cfg.phash_vote_weight
+        if not wide:
+            # vectorized word path (bit-identical; None = non-ASCII batch)
+            hashes = counts = None
+            if (
+                tk.analyzer is None
+                and cfg.token_hasher == "fnv1a"
+                and tk.kind == "word"
+                and tk.n_from == 1
+                and tk.n_to == 1
+            ):
+                res = hashing.fnv1a_word_tokens_batch(list(texts), tk.lowercase)
+                if res is not None:
+                    hashes, counts = res
+            if hashes is None:
+                tok_lists = [tokenize(t, tk) for t in texts]
+                counts = np.fromiter(
+                    (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+                )
+                hashes = hashing.hash_tokens(
+                    [t for toks in tok_lists for t in toks], cfg.token_hasher
+                )
+            sig = hashing.simhash_signatures(
+                hashes, counts, cfg.nbits, ph, cfg.phash_vote_weight
             )
-            return pd.Series([[int(a), int(b)] for a, b in zip(lo, hi)])
-        hashes = hashing.hash_tokens(flat, cfg.token_hasher)
-        sig = hashing.simhash_signatures(
-            hashes, counts, cfg.nbits, ph, cfg.phash_vote_weight
+            return pd.Series(sig)
+        tok_lists = [tokenize(t, tk) for t in texts]
+        counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+        flat = [t for toks in tok_lists for t in toks]
+        lo_h, hi_h = hashing.hash_tokens_128(flat, cfg.token_hasher)
+        lo, hi = hashing.simhash_signatures128(
+            lo_h, hi_h, counts, ph, cfg.phash_vote_weight
         )
-        return pd.Series(sig)
+        return pd.Series([[int(a), int(b)] for a, b in zip(lo, hi)])
 
     ret = ArrayType(LongType(), containsNull=False) if wide else LongType()
     if with_phash:

@@ -143,6 +143,85 @@ def fnv1a_char_shingles_batch(
     return out, counts
 
 
+_WORD_DELIM_TABLE: np.ndarray | None = None
+
+
+def _word_delim_table() -> np.ndarray:
+    """256-entry bool lookup: True for byte values the word tokenizer
+    splits on. Built by testing every ASCII char against the ACTUAL
+    tokenizer regex (tokenize._SPLIT_RE), so the vectorized path can never
+    drift from the per-row Python tokenizer; non-ASCII bytes never reach
+    this table (the fast path bails out on non-ASCII batches)."""
+    global _WORD_DELIM_TABLE
+    if _WORD_DELIM_TABLE is None:
+        from gaoya_spark.tokenize import _SPLIT_RE
+
+        t = np.zeros(256, dtype=bool)
+        for c in range(128):
+            if _SPLIT_RE.match(chr(c)):
+                t[c] = True
+        _WORD_DELIM_TABLE = t
+    return _WORD_DELIM_TABLE
+
+
+def fnv1a_word_tokens_batch(
+    texts: list, lowercase: bool = False
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Fully-vectorized word tokenize+hash for an all-ASCII batch.
+
+    Returns (token_hashes concatenated doc-major, per-doc counts),
+    BIT-IDENTICAL to hash_tokens(whitespace_split(text), "fnv1a") per doc:
+    tokens are maximal runs of non-delimiter bytes (delimiter set = the
+    exact _SPLIT_RE class, see _word_delim_table) and each token is FNV-1a
+    folded over its UTF-8 (== ASCII) bytes — the same fold fnv1a_u64
+    performs. No per-token Python string is ever materialized.
+
+    Returns None when the batch contains any non-ASCII text: multi-byte
+    delimiter detection at byte level is not worth the complexity, so the
+    caller falls back to the per-row Python tokenizer (identical results,
+    slower)."""
+    n_docs = len(texts)
+    counts = np.zeros(n_docs, dtype=np.int64)
+    if n_docs == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    clean = [
+        ("" if t is None else (t.lower() if lowercase else t)) for t in texts
+    ]
+    # single-space separators double as doc boundaries (space is a
+    # delimiter, so no token can span two docs)
+    joined = " ".join(clean)
+    if not joined.isascii():
+        return None
+    if not joined:
+        return np.empty(0, dtype=np.uint64), counts
+    lens = np.fromiter((len(t) for t in clean), dtype=np.int64, count=n_docs)
+    doc_starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=doc_starts[1:])
+    buf = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+    delim = _word_delim_table()[buf]
+    nd = ~delim
+    if not nd.any():
+        return np.empty(0, dtype=np.uint64), counts
+    start_mask = nd.copy()
+    start_mask[1:] &= delim[:-1]
+    end_mask = nd.copy()
+    end_mask[:-1] &= delim[1:]
+    tstarts = np.nonzero(start_mask)[0]
+    tlens = np.nonzero(end_mask)[0] - tstarts + 1
+    doc_of = np.searchsorted(doc_starts, tstarts, side="right") - 1
+    counts = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+    b64 = buf.astype(np.uint64)
+    h = np.full(len(tstarts), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(int(tlens.max())):
+            m = tlens > j
+            if m.all():
+                h = (h ^ b64[tstarts + j]) * _FNV_PRIME
+            else:
+                h[m] = (h[m] ^ b64[tstarts[m] + j]) * _FNV_PRIME
+    return h, counts
+
+
 def phash_feature_hashes(phash: np.ndarray, weight: int = 1) -> np.ndarray:
     """(n_docs, 8*weight) u64 feature hashes for the 8 bytes of a 64-bit
     perceptual hash (north rule: phash features fold into the minhash token

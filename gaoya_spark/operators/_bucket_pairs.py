@@ -162,7 +162,7 @@ def sid_cross_pairs_from_buckets(
 
 def sid_pairs_from_buckets(
     members: DataFrame,
-    array_bucket_limit: int = 256,
+    array_bucket_limit: int = 16,
     drop_cap: int = 100_000,
     block_groups: int = 16,
     persist: bool = True,

@@ -146,7 +146,9 @@ def _two_phase_cc(raw: DataFrame, nodes: DataFrame | None, max_iter: int,
         if checkpoint_fn is not None and (it + 1) % checkpoint_every == 0:
             ss = checkpoint_fn(ss, it)
         else:
-            ss = ss.localCheckpoint(eager=True)
+            # non-eager: the checksum aggregate right below is the first
+            # action, so materialization + fixpoint test share one job
+            ss = ss.localCheckpoint(eager=False)
         # xor-fold (not sum) of the row hashes: overflow-free under ANSI
         # mode and order-insensitive — a standard incremental set checksum
         chk = ss.agg(
@@ -251,30 +253,42 @@ def connected_components(
 
     converged = False
     for it in range(max_iter):
-        # neighbor-min: for each node a, min over labels of its neighbors b
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("id", "b"), "b")
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
-            .withColumnRenamed("a", "id")
+        # one shuffle for the neighbor messages (join), one for the min
+        # (groupBy) — the former separate labels-join for change detection
+        # is folded into the same aggregation by tagging each node's own
+        # label row and re-deriving it with a conditional min (r6: 3
+        # exchanges/iteration -> 2, and the convergence probe rides the
+        # checkpoint materialization below instead of being its own job)
+        msgs = sym.join(
+            labels.select(F.col("id").alias("b"), "component"), "b"
+        ).select(F.col("a").alias("id"), F.col("component").alias("c"),
+                 F.lit(False).alias("own"))
+        own = labels.select(
+            "id", F.col("component").alias("c"), F.lit(True).alias("own")
         )
         new_labels = (
-            labels.join(nbr_min, "id", "left")
+            msgs.unionByName(own)
+            .groupBy("id")
+            .agg(
+                F.min("c").alias("component"),
+                F.min(F.when(F.col("own"), F.col("c"))).alias("old_component"),
+            )
             .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", "component")
-                ).alias("component"),
-                (
-                    F.coalesce("nbr_component", "component") < F.col("component")
-                ).alias("changed"),
+                "id", "component",
+                (F.col("component") < F.col("old_component")).alias("changed"),
             )
         )
         if checkpoint_fn is not None and (it + 1) % checkpoint_every == 0:
             new_labels = checkpoint_fn(new_labels, it)
         else:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        n_changed = new_labels.where("changed").limit(1).count()
+            # non-eager: the convergence aggregate below is the first
+            # action, so checkpoint materialization and the changed-count
+            # happen in ONE job (eager + a separate probe ran two)
+            new_labels = new_labels.localCheckpoint(eager=False)
+        n_changed = (
+            new_labels.agg(F.sum(F.col("changed").cast("long"))).collect()[0][0]
+            or 0
+        )
         labels = new_labels.drop("changed")
         if n_changed == 0:
             converged = True

@@ -119,9 +119,14 @@ def _gram_hashes(text_col, min_len: int):
     )
 
 
-def _gram_fp128(text_col, min_len: int):
-    """Distinct 128-bit L-gram fingerprints: struct of two independently
-    seeded xxhash64 words — JVM-side."""
+def _gram_fp128_sorted(text_col, min_len: int):
+    """SORTED (duplicates kept) 128-bit L-gram fingerprints: struct of two
+    independently seeded xxhash64 words — JVM-side. Callers dedupe with an
+    adjacent-equality filter over a named column (see candidate_gram_pairs):
+    array_distinct over non-primitive element types is pairwise O(n^2)
+    equality, while sort + adjacent filter is O(n log n) — measured 6x on
+    the ~280-gram sf0.1 documents (tools/exp_substr.py, members stage
+    2.52s -> 0.42s MIN)."""
     n_positions = F.length(text_col) - F.lit(min_len - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n_positions, F.lit(1))),
@@ -130,7 +135,7 @@ def _gram_fp128(text_col, min_len: int):
             F.xxhash64(text_col.substr(i, F.lit(min_len)), F.lit(1)).alias("h2"),
         ),
     )
-    return F.when(n_positions >= 1, F.array_distinct(grams)).otherwise(
+    return F.when(n_positions >= 1, F.array_sort(grams)).otherwise(
         F.array().cast("array<struct<h1:bigint,h2:bigint>>")
     )
 
@@ -145,10 +150,18 @@ def candidate_gram_pairs(
     (boilerplate at web scale) are dropped — surfaced via gram_stats, never
     silently at default settings for tests."""
     has_len = df.where(F.length(text_col) >= min_len)
-    members = has_len.select(
+    # two-step select so the sorted gram array is a named column: the
+    # adjacent-dedup filter references it twice (element and predecessor)
+    # and a named projection guarantees single evaluation of the sort
+    gs = has_len.select(
         F.xxhash64(F.col(id_col)).alias("sid"),
-        F.explode(_gram_fp128(F.col(text_col), min_len)).alias("bk"),
+        _gram_fp128_sorted(F.col(text_col), min_len).alias("gs"),
     )
+    dedup = F.filter(
+        F.col("gs"),
+        lambda x, i: (i == F.lit(0)) | ~(x == F.element_at(F.col("gs"), i)),
+    )
+    members = gs.select("sid", F.explode(dedup).alias("bk"))
     cand = sid_pairs_from_buckets(
         members,
         array_bucket_limit=array_bucket_limit,

@@ -156,6 +156,22 @@ class Warehouse:
     def drop(self, name: str) -> None:
         shutil.rmtree(self.table_path(name), ignore_errors=True)
 
+    def partition_values(self, name: str, key: str) -> set[str]:
+        """Distinct values of a top-level partition column, read from the
+        directory layout (key=value subdirs) — an O(#partitions) listing,
+        no Spark job. Used for cheap index-coverage checks (a maintained
+        index table must cover every batch of its base table before a
+        query may trust it)."""
+        p = self.table_path(name)
+        if not os.path.isdir(p):
+            return set()
+        prefix = key + "="
+        return {
+            f[len(prefix):]
+            for f in os.listdir(p)
+            if f.startswith(prefix) and os.path.isdir(os.path.join(p, f))
+        }
+
     # -------------------------------------------------------------- manifest
     def _load_manifest(self) -> dict:
         if os.path.exists(self._manifest_path):

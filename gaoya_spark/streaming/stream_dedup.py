@@ -77,12 +77,49 @@ class StreamingDedup:
         # and probes the ACCUMULATED rows here, so the standing index is
         # never re-banded — at 10^12 rows, re-hashing b bands per index
         # row per micro-batch would dwarf the batch's own work
+        index_bands = None
         if index is not None and self.wh.exists("stream_bands"):
+            # COVERAGE GUARD: only trust the maintained bands index when it
+            # covers every batch present in stream_signatures (missing rows
+            # lose recall — query()'s own contract). A warehouse written by
+            # an older three-table layout, or a partially-deleted bands
+            # table, would otherwise silently drop all cross-batch edges
+            # against the uncovered batches from the second post-upgrade
+            # batch onward. The check is a directory listing (both tables
+            # are partitioned by batch_id), not a Spark job.
+            sig_batches = self.wh.partition_values("stream_signatures", "batch_id")
+            band_batches = self.wh.partition_values("stream_bands", "batch_id")
+            sig_batches.discard(str(batch_id))
+            band_batches.discard(str(batch_id))
+            missing = sig_batches - band_batches
+            if missing:
+                # self-heal: band the uncovered batches once and write them
+                # into their own partitions (idempotent overwrite), instead
+                # of silently probing an index that misses them. Cost is
+                # proportional to the gap, paid once; afterwards the
+                # maintained-index invariant holds again.
+                import warnings
+
+                warnings.warn(
+                    "StreamingDedup: stream_bands was missing batches "
+                    f"{sorted(missing)} of stream_signatures — backfilling "
+                    "their (sid, bk) rows before probing the index",
+                    RuntimeWarning,
+                )
+                for b in sorted(missing):
+                    part = self.wh.read("stream_signatures").where(
+                        F.col("batch_id") == int(b)
+                    )
+                    self.wh.overwrite_partitions(
+                        self.lsh.sid_bands(part.select("id", "sig")).withColumn(
+                            "batch_id", F.lit(int(b))
+                        ),
+                        "stream_bands",
+                        ["batch_id"],
+                    )
             index_bands = self.wh.read("stream_bands").where(
                 F.col("batch_id") != batch_id
             )
-        else:
-            index_bands = None
 
         # edges inside the batch
         edges = self.lsh.dedup_pairs(new_sigs).select("src", "dst")
