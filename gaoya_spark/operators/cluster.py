@@ -329,6 +329,79 @@ def clusters_from_labels(
     )
 
 
+def duplicate_pair_precision(
+    predicted_labels: DataFrame, truth_groups: DataFrame,
+    id_col: str = "id", group_col: str = "group_id",
+) -> float:
+    """Fraction of predicted co-clustered pairs that are ground-truth
+    duplicate pairs — the precision counterpart of duplicate_pair_recall
+    (the reference notebook publishes all three: accuracy / recall /
+    precision, BASELINE.md). Predicted pairs are generated per predicted
+    component via a self-join; fine for stress-scale cluster sizes (the
+    near-dup graphs planted there have bounded families), would need a
+    size cap for adversarial mega-clusters."""
+    p = predicted_labels.select(F.col(id_col).alias("id"), "component")
+    pred_pairs = (
+        p.alias("x")
+        .join(p.alias("y"), F.col("x.component") == F.col("y.component"))
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    )
+    t = truth_groups.select(F.col(id_col).alias("id"), F.col(group_col).alias("g"))
+    joined = (
+        pred_pairs
+        .join(t.withColumnRenamed("id", "src").withColumnRenamed("g", "ga"), "src", "left")
+        .join(t.withColumnRenamed("id", "dst").withColumnRenamed("g", "gb"), "dst", "left")
+    )
+    agg = joined.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("ga").isNotNull() & (F.col("ga") == F.col("gb"))).cast("int")
+        ).alias("hit"),
+    ).collect()[0]
+    return 1.0 if agg["n"] == 0 else agg["hit"] / agg["n"]
+
+
+def exact_set_accuracy(
+    predicted_labels: DataFrame, truth_groups: DataFrame,
+    id_col: str = "id", group_col: str = "group_id",
+) -> float:
+    """Fraction of documents whose predicted cluster is EXACTLY its truth
+    group (same member set) — the notebook's set-level accuracy. Each
+    side's member set is reduced to an order-insensitive signature
+    (count + xor of member-id hashes) per group; a document scores when
+    its predicted component's signature equals its truth group's.
+    Documents absent from truth_groups are treated as singleton truth
+    groups (non-duplicates must be predicted as singletons to score)."""
+    p = predicted_labels.select(F.col(id_col).alias("id"), "component")
+    t = truth_groups.select(F.col(id_col).alias("id"), F.col(group_col).alias("g"))
+    full_t = p.select("id").join(t, "id", "left").select(
+        "id",
+        F.coalesce(
+            F.concat(F.lit("g:"), F.col("g").cast("string")),
+            F.concat(F.lit("s:"), F.col("id").cast("string")),
+        ).alias("g"),
+    )
+    psig = p.groupBy("component").agg(
+        F.count("*").alias("pn"), F.bit_xor(F.xxhash64("id")).alias("ph")
+    )
+    tsig = full_t.groupBy("g").agg(
+        F.count("*").alias("tn"), F.bit_xor(F.xxhash64("id")).alias("th")
+    )
+    per_doc = (
+        p.join(full_t, "id")
+        .join(psig, "component")
+        .join(tsig, "g")
+    )
+    agg = per_doc.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            ((F.col("pn") == F.col("tn")) & (F.col("ph") == F.col("th"))).cast("int")
+        ).alias("hit"),
+    ).collect()[0]
+    return 1.0 if agg["n"] == 0 else agg["hit"] / agg["n"]
+
+
 def duplicate_pair_recall(
     predicted_labels: DataFrame, truth_groups: DataFrame,
     id_col: str = "id", group_col: str = "group_id",

@@ -156,6 +156,57 @@ class Warehouse:
     def drop(self, name: str) -> None:
         shutil.rmtree(self.table_path(name), ignore_errors=True)
 
+    def compact(
+        self,
+        name: str,
+        partition_by: list[str] | None = None,
+        target_files: int = 1,
+    ) -> int:
+        """Rewrite a table to a bounded file count, preserving rows and
+        the partition layout. A maintained index table accretes one
+        directory of shuffle-partition-many small files per micro-batch;
+        after thousands of triggers every index probe pays thousands of
+        file opens (guide §6 small-files problem). With partition_by, rows
+        are hash-clustered by the partition columns first so each
+        partition value lands in exactly one write task -> one file per
+        partition; without, the whole table coalesces to target_files.
+
+        Parquet-fallback atomicity: the rewrite lands in a temp dir first
+        and is swapped in with rename; the rm+rename window is the
+        documented non-atomic residue (Iceberg's rewrite_data_files does
+        this atomically — same operation, snapshot-committed). Returns the
+        file count after compaction."""
+        df = self.read(name)
+        tmp = self.table_path(name) + "._compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        if partition_by:
+            (
+                df.repartition(*[df[c] for c in partition_by])
+                .write.mode("overwrite")
+                .partitionBy(*partition_by)
+                .parquet(tmp)
+            )
+        else:
+            df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        dst = self.table_path(name)
+        shutil.rmtree(dst)
+        os.replace(tmp, dst)
+        return sum(
+            1
+            for _, _, files in os.walk(dst)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    def file_count(self, name: str) -> int:
+        """Data-file count of a table (compaction health metric)."""
+        return sum(
+            1
+            for _, _, files in os.walk(self.table_path(name))
+            for f in files
+            if f.endswith(".parquet")
+        )
+
     def partition_values(self, name: str, key: str) -> set[str]:
         """Distinct values of a top-level partition column, read from the
         directory layout (key=value subdirs) — an O(#partitions) listing,

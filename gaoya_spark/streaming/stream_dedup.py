@@ -48,12 +48,19 @@ class StreamingDedup:
         id_col: str = "image_id",
         text_col: str = "caption",
         phash_col: str | None = "phash",
+        compact_every: int | None = 8,
     ):
         self.spark = spark
         self.wh = warehouse
         self.cfg = cfg or MinHashConfig()
         self.lsh = MinHashLSH(self.cfg)
         self.id_col, self.text_col, self.phash_col = id_col, text_col, phash_col
+        # every K batches the four stream tables are compacted to one file
+        # per batch_id partition (Warehouse.compact): each micro-batch
+        # write lands shuffle-partition-many small files, so an
+        # uncompacted index probe after thousands of triggers would pay
+        # thousands of file opens (guide §6). None disables.
+        self.compact_every = compact_every
 
     # ---------------------------------------------------------- batch logic
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -183,6 +190,16 @@ class StreamingDedup:
         self.wh.overwrite_partitions(
             new_labels.withColumn("batch_id", bid), "stream_labels", ["batch_id"]
         )
+
+        if self.compact_every and (batch_id + 1) % self.compact_every == 0:
+            # safe vs replay: compaction preserves the batch_id partition
+            # dirs, so a replayed batch still overwrites exactly its own
+            # partition; older batches never replay once their streaming
+            # checkpoint is committed
+            for t in ("stream_signatures", "stream_bands",
+                      "stream_edges", "stream_labels"):
+                if self.wh.exists(t):
+                    self.wh.compact(t, partition_by=["batch_id"])
 
     # ------------------------------------------------------------- streaming
     def start(self, stream_df: DataFrame, checkpoint_dir: str, trigger_once: bool = True):

@@ -155,3 +155,39 @@ def test_return_converged_flag(spark):
             chain, driver_threshold=0, max_iter=1, return_converged=True
         )
     assert converged is False
+
+
+def test_pair_precision_and_exact_set_accuracy(spark):
+    """duplicate_pair_precision / exact_set_accuracy (round 6, the
+    reference notebook's remaining quality metrics): exact on a planted
+    corpus — one perfect cluster, one over-merge (hurts precision +
+    accuracy), one split (hurts accuracy only, precision unaffected)."""
+    from gaoya_spark.operators.cluster import (
+        duplicate_pair_precision,
+        exact_set_accuracy,
+    )
+
+    # truth: {a,b,c} group g1; {d,e} group g2; f,g singletons
+    truth = spark.createDataFrame(
+        [("a", "g1"), ("b", "g1"), ("c", "g1"), ("d", "g2"), ("e", "g2")],
+        "id string, group_id string",
+    )
+    # predicted: {a,b,c} perfect; {d,e,f} over-merged (+2 false pairs);
+    # g singleton (correct)
+    pred = spark.createDataFrame(
+        [("a", "A"), ("b", "A"), ("c", "A"), ("d", "D"), ("e", "D"),
+         ("f", "D"), ("g", "g")],
+        "id string, component string",
+    )
+    # predicted pairs: 3 (abc) + 3 (def) = 6; true among them: 3 + 1 = 4
+    assert abs(duplicate_pair_precision(pred, truth) - 4 / 6) < 1e-9
+    # exact sets: a,b,c correct (3); d,e,f wrong (over-merge); g correct
+    assert abs(exact_set_accuracy(pred, truth) - 4 / 7) < 1e-9
+
+    # split cluster: {a,b},{c} — precision stays 1.0, accuracy drops
+    pred2 = spark.createDataFrame(
+        [("a", "A"), ("b", "A"), ("c", "C"), ("d", "D"), ("e", "D")],
+        "id string, component string",
+    )
+    assert duplicate_pair_precision(pred2, truth) == 1.0
+    assert abs(exact_set_accuracy(pred2, truth) - 2 / 5) < 1e-9

@@ -316,3 +316,45 @@ def test_superminhash_v2_scheme_plugs_into_config():
 
     cfg = MinHashConfig(num_bands=8, band_width=8, scheme="superminhash_v2")
     assert cfg.num_hashes == 64
+
+
+def test_word_tokens_batch_bit_identical_and_fallback():
+    """fnv1a_word_tokens_batch (the vectorized word path, round 6) must be
+    BIT-identical to hash_tokens(whitespace_split(text)) per doc — same
+    counts, same hashes doc-major — and bail out (None) on non-ASCII so
+    the caller falls back to the Python tokenizer."""
+    import numpy as np
+
+    from gaoya_spark.tokenize import tokenize
+    from gaoya_spark.config import TokenizerSpec
+
+    texts = [
+        "Hello, world! foo-bar_baz 123",
+        "",
+        None,
+        "   leading and trailing   ",
+        "punct!!!only???",
+        "a",
+        "MiXeD Case WORDS here",
+        "tabs\tand\nnewlines\r\nok",
+        "semi;colon [brackets] {braces} (parens) `tick` ~tilde~",
+        "repeat repeat repeat",
+        "ctrl\x1cchars\x1dsplit\x1etoo\x1fyes",
+    ]
+    for lc in (False, True):
+        spec = TokenizerSpec(kind="word", n_from=1, n_to=1, lowercase=lc)
+        res = hashing.fnv1a_word_tokens_batch(list(texts), lc)
+        assert res is not None
+        h_fast, c_fast = res
+        tok_lists = [tokenize(t, spec) for t in texts]
+        c_py = np.array([len(t) for t in tok_lists])
+        h_py = hashing.hash_tokens(
+            [t for toks in tok_lists for t in toks], "fnv1a"
+        )
+        assert (c_fast == c_py).all()
+        assert (h_fast == h_py).all()
+    assert hashing.fnv1a_word_tokens_batch(["héllo wörld"], False) is None
+    h, c = hashing.fnv1a_word_tokens_batch(["!!!", "   "], False)
+    assert len(h) == 0 and (c == 0).all()
+    h, c = hashing.fnv1a_word_tokens_batch([], False)
+    assert len(h) == 0 and len(c) == 0

@@ -574,3 +574,100 @@ def test_query_with_precomputed_index_bands(spark, corpus5):
     }
     want_rm = {(q, i) for q, i in base if q != 0 and i != 0}
     assert after_rm == want_rm
+
+
+@pytest.mark.parametrize("strategy", [
+    {"numpy_verify": True},
+    {"numpy_verify": "fused"},
+    {"numpy_verify": True, "raw_candidates": True},
+])
+def test_broadcast_guard_boundary_identical_pairs(spark, corpus5, strategy):
+    """Pin the broadcast row bound below the corpus size THROUGH THE
+    PUBLIC API (numpy_max_rows): every numpy/fused strategy must trip its
+    guard, warn, fall back to the JVM shuffle verify, and produce the
+    IDENTICAL pair set — the silent-divergence class the guards exist to
+    prevent, now boundary-tested, not just warning-tested."""
+    import warnings
+
+    lsh, sigs = corpus5
+    normal = {
+        (r["src"], r["dst"])
+        for r in lsh.dedup_pairs(sigs, keep_sim=False, **strategy).collect()
+    }
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        guarded = {
+            (r["src"], r["dst"])
+            for r in lsh.dedup_pairs(
+                sigs, keep_sim=False, numpy_max_rows=1, **strategy
+            ).collect()
+        }
+    assert any("broadcast-safe" in str(x.message) for x in w)
+    assert guarded == normal and normal
+
+
+def test_sketch_prefilter_identical_results(spark, corpus5):
+    """The 4-bit sketch prefilter changes the JVM verify PLAN, never the
+    results — pairs, sims, and the query path must all be identical with
+    it on and off."""
+    lsh, sigs = corpus5
+    on = {
+        (r["src"], r["dst"], round(r["sim"], 9))
+        for r in lsh.dedup_pairs(sigs, sketch_prefilter=True).collect()
+    }
+    off = {
+        (r["src"], r["dst"], round(r["sim"], 9))
+        for r in lsh.dedup_pairs(sigs, sketch_prefilter=False).collect()
+    }
+    assert on == off and on
+    q_on = {(r["qid"], r["id"]) for r in lsh.query(sigs, sigs).collect()}
+    q_off = {
+        (r["qid"], r["id"])
+        for r in lsh._query_scored(sigs, sigs)
+        .where(F.col("sim") >= 0.5)
+        .select("qid", "id")
+        .collect()
+    }
+    assert q_on == q_off and q_on
+
+
+def test_sketch_eq_upper_bound_expression():
+    """sketch_eq_upper_bound must be >= the exact equal count for random
+    arrays and == k for identical arrays (the exact-bound property the
+    prefilter's correctness rests on), across odd/even k and both int
+    widths."""
+    import numpy as np
+
+    from gaoya_spark.functions.similarity import (
+        sketch_eq_upper_bound,
+        sketch_signature_col,
+    )
+    from gaoya_spark.session import get_spark
+
+    spark = get_spark("sketch_test", cores=2, shuffle_partitions=2)
+    rng = np.random.default_rng(7)
+    for k, width in [(16, 31), (33, 31), (200, 31), (50, 60)]:
+        rows = []
+        for _ in range(50):
+            a = rng.integers(0, 2 ** width, size=k).tolist()
+            b = [
+                x if rng.random() < 0.4 else int(y)
+                for x, y in zip(a, rng.integers(0, 2 ** width, size=k))
+            ]
+            rows.append((a, b, sum(1 for x, y in zip(a, b) if x == y)))
+        rows.append((rows[0][0], rows[0][0], k))  # identical arrays
+        df = spark.createDataFrame(
+            rows, "a array<long>, b array<long>, exact int"
+        )
+        out = df.select(
+            sketch_eq_upper_bound(
+                sketch_signature_col(F.col("a"), k),
+                sketch_signature_col(F.col("b"), k),
+                k,
+            ).alias("bound"),
+            "exact",
+        ).collect()
+        for r in out:
+            assert r["bound"] >= r["exact"], (k, width, r)
+            assert r["bound"] <= k
+        assert out[-1]["bound"] == k

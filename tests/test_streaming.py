@@ -282,3 +282,119 @@ def test_stateful_first_seen_ttl_eviction(spark, tmp_path):
     run_long_ttl(expect_files=1)
     got2 = {r["image_id"] for r in spark.read.parquet(str(out2)).collect()}
     assert got2 == {1}
+
+
+def test_compaction_preserves_index_and_bounds_files(spark, tmp_path):
+    """Warehouse.compact rewrites each stream table to one file per
+    batch_id partition: rows identical, query(index_bands=) results
+    identical before/after, and the file count is bounded by the batch
+    count instead of batches x shuffle partitions."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sd = StreamingDedup(spark, wh, CFG, compact_every=None)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different text about database engines",
+        "another unrelated caption mentioning volcanoes",
+    ]
+    for b in range(4):
+        df = spark.createDataFrame(
+            _img_rows([(10 * b + j, texts[(b + j) % len(texts)]) for j in range(2)]),
+            SCHEMA,
+        )
+        sd.process_batch(df, b)
+
+    sigs = wh.read("stream_signatures")
+    bands_before = wh.read("stream_bands")
+    probe = sigs.select("id", "sig")
+    before = {
+        (r["qid"], r["id"])
+        for r in sd.lsh.query(
+            sigs.select("id", "sig"), probe, index_bands=bands_before
+        ).collect()
+    }
+    rows_before = {
+        t: wh.read(t).count()
+        for t in ("stream_signatures", "stream_bands", "stream_edges", "stream_labels")
+    }
+    files_before = wh.file_count("stream_bands")
+
+    for t in rows_before:
+        wh.compact(t, partition_by=["batch_id"])
+
+    for t, n in rows_before.items():
+        assert wh.read(t).count() == n, t
+    files_after = wh.file_count("stream_bands")
+    assert files_after <= 4  # one file per batch partition
+    assert files_after < files_before
+    sigs2 = wh.read("stream_signatures")
+    after = {
+        (r["qid"], r["id"])
+        for r in sd.lsh.query(
+            sigs2.select("id", "sig"), sigs2.select("id", "sig"),
+            index_bands=wh.read("stream_bands"),
+        ).collect()
+    }
+    assert after == before and before
+
+    # and the next batch still processes correctly on the compacted tables
+    df = spark.createDataFrame(
+        _img_rows([(100, texts[0])]), SCHEMA
+    )
+    sd.process_batch(df, 4)
+    labels = {r["id"]: r["component"] for r in wh.read("stream_labels").collect()}
+    assert labels[100] == min(
+        i for i, t in labels.items() if i != 100 and t == labels[100]
+    ) or labels[100] == 100
+
+
+def test_bands_coverage_guard_backfills_missing_batches(spark, tmp_path):
+    """A stream_bands table missing a batch (older layout / partial
+    delete) must not silently lose cross-batch edges: process_batch
+    detects the gap via the partition listing, backfills the missing
+    batch's (sid, bk) rows, and produces the same edges as a coherent
+    warehouse."""
+    import warnings
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "totally unrelated text about database engines",
+        3: "the quick brown fox jumps over the lazy cat",
+    }
+    # coherent reference run
+    wh_ok = Warehouse(spark, str(tmp_path / "ok"))
+    sd_ok = StreamingDedup(spark, wh_ok, CFG)
+    sd_ok.process_batch(
+        spark.createDataFrame(_img_rows([(1, texts[1]), (2, texts[2])]), SCHEMA), 0
+    )
+    sd_ok.process_batch(
+        spark.createDataFrame(_img_rows([(3, texts[3])]), SCHEMA), 1
+    )
+    want = {
+        (r["src"], r["dst"]) for r in wh_ok.read("stream_edges").collect()
+    }
+
+    # damaged run: batch 0's bands partition is deleted after batch 0,
+    # but batch 1's partition remains — a genuine coverage gap (an
+    # entirely-missing table is just the cold-start path)
+    wh = Warehouse(spark, str(tmp_path / "gap"))
+    sd = StreamingDedup(spark, wh, CFG)
+    sd.process_batch(
+        spark.createDataFrame(_img_rows([(1, texts[1])]), SCHEMA), 0
+    )
+    sd.process_batch(
+        spark.createDataFrame(_img_rows([(2, texts[2])]), SCHEMA), 1
+    )
+    import shutil
+
+    shutil.rmtree(os.path.join(wh.table_path("stream_bands"), "batch_id=0"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sd.process_batch(
+            spark.createDataFrame(_img_rows([(3, texts[3])]), SCHEMA), 2
+        )
+    assert any("backfilling" in str(x.message) for x in w)
+    got = {(r["src"], r["dst"]) for r in wh.read("stream_edges").collect()}
+    assert got == want
+    # the backfill repaired the index: batch 0's partition exists again
+    assert "0" in wh.partition_values("stream_bands", "batch_id")
