@@ -671,3 +671,50 @@ def test_sketch_eq_upper_bound_expression():
             assert r["bound"] >= r["exact"], (k, width, r)
             assert r["bound"] <= k
         assert out[-1]["bound"] == k
+
+
+def test_numpy_strategy_values_identical(spark, corpus5):
+    """r6: numpy_verify accepts True (adaptive raw/fused via the
+    driver-side density probe) and explicit "agg" | "raw" | "fused" —
+    every value must yield the exact JVM-path pair set, and an unknown
+    value must raise."""
+    import pytest
+
+    lsh, sigs = corpus5
+    base = {(r["src"], r["dst"]) for r in lsh.dedup_pairs(sigs).collect()}
+    for nv in (True, "agg", "raw", "fused"):
+        got = {
+            (r["src"], r["dst"])
+            for r in lsh.dedup_pairs(sigs, keep_sim=False, numpy_verify=nv).collect()
+        }
+        assert got == base, nv
+    with pytest.raises(ValueError, match="numpy_verify"):
+        lsh.dedup_pairs(sigs, keep_sim=False, numpy_verify="bogus")
+
+
+def test_emissions_per_doc_density_probe(spark):
+    """The adaptive-strategy density probe must rank a dense corpus
+    (every doc in one near-identical family -> every band bucket holds
+    all docs) far above a sparse one (distinct random docs -> singleton
+    buckets), and be deterministic across calls (strided sampling, no
+    RNG)."""
+    import numpy as np
+
+    from gaoya_spark.config import MinHashConfig
+    from gaoya_spark.operators.minhash_lsh import MinHashLSH
+
+    lsh = MinHashLSH(MinHashConfig(num_bands=8, band_width=4, threshold=0.5))
+    rng = np.random.default_rng(11)
+    n, k = 200, 32
+    dense = np.broadcast_to(
+        rng.integers(0, 2**31, size=k, dtype=np.int64), (n, k)
+    ).copy()
+    sparse = rng.integers(0, 2**31, size=(n, k), dtype=np.int64)
+    e_dense = lsh._emissions_per_doc(dense)
+    e_sparse = lsh._emissions_per_doc(sparse)
+    # identical signatures: every band bucket holds all n docs ->
+    # exactly b * C(n, 2) / n emissions per doc
+    assert e_dense == 8 * (n * (n - 1) // 2) / n
+    assert e_sparse < 1.0
+    assert lsh._emissions_per_doc(dense) == e_dense
+    assert lsh._emissions_per_doc(np.zeros((1, k), dtype=np.int64)) == 0.0
