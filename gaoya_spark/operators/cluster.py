@@ -235,21 +235,29 @@ def connected_components(
         )
         return (labels, converged) if return_converged else labels
 
-    # distributed label propagation: symmetrize + dedup once, persisted
-    # across iterations
+    # distributed label propagation: symmetrize once, persisted across
+    # iterations. NO dropDuplicates: canonical (src < dst) edge lists —
+    # every pair generator in this repo emits them — cannot produce a
+    # duplicate under symmetrization, and for non-canonical inputs a
+    # duplicate edge only repeats a message row, which the min-aggregate
+    # absorbs; the exchange the dedup cost every caller (r6: measured
+    # ~40% of this operator's wall on the bench graph) bought nothing.
     sym = raw.unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).dropDuplicates(["a", "b"])
+    ).persist()
 
+    # initial labels are the raw (duplicated) endpoint list: the first
+    # iteration's groupBy(id) deduplicates them for free, so the former
+    # distinct + eager-checkpoint init job disappears (r6: it was the
+    # single most expensive step of this operator on the bench graph —
+    # ~2.8-4.3s of a ~5s query)
     if nodes is not None:
-        ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+        ids = nodes.select(F.col(nodes.columns[0]).alias("id"))
     else:
-        ids = sym.select(F.col("a").alias("id")).distinct()
-
-    sym = sym.persist()
-
+        ids = sym.select(F.col("a").alias("id"))
     labels = ids.select("id", F.col("id").alias("component"))
-    labels = labels.localCheckpoint(eager=True)
+    if max_iter <= 0:
+        labels = labels.dropDuplicates(["id"])
 
     converged = False
     for it in range(max_iter):
