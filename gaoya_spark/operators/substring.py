@@ -150,12 +150,23 @@ def candidate_gram_pairs(
     (boilerplate at web scale) are dropped — surfaced via gram_stats, never
     silently at default settings for tests."""
     has_len = df.where(F.length(text_col) >= min_len)
+    # 64-bit-integer ids ARE valid 8-byte surrogates: skip the xxhash64
+    # sid indirection and, with it, BOTH sid->id attach joins on the
+    # candidate set (guide §2.4 — at web scale those are two shuffles of
+    # every candidate row; locally ~15% of the query). Pair order is
+    # unchanged: sid_pairs_from_buckets emits src < dst in surrogate
+    # order, which for raw long ids IS (least, greatest) id order.
+    id_is_long = df.schema[id_col].dataType.simpleString() == "bigint"
+    sid = (
+        F.col(id_col).alias("sid")
+        if id_is_long
+        else F.xxhash64(F.col(id_col)).alias("sid")
+    )
     # two-step select so the sorted gram array is a named column: the
     # adjacent-dedup filter references it twice (element and predecessor)
     # and a named projection guarantees single evaluation of the sort
     gs = has_len.select(
-        F.xxhash64(F.col(id_col)).alias("sid"),
-        _gram_fp128_sorted(F.col(text_col), min_len).alias("gs"),
+        sid, _gram_fp128_sorted(F.col(text_col), min_len).alias("gs")
     )
     dedup = F.filter(
         F.col("gs"),
@@ -168,6 +179,8 @@ def candidate_gram_pairs(
         drop_cap=max_gram_bucket,
         persist=persist,
     )
+    if id_is_long:
+        return cand.select("src", "dst")
     m = df.select(F.xxhash64(F.col(id_col)).alias("sid"), F.col(id_col).alias("id"))
     ma = m.select(F.col("sid").alias("src"), F.col("id").alias("src_id"))
     mb = m.select(F.col("sid").alias("dst"), F.col("id").alias("dst_id"))

@@ -1,7 +1,8 @@
 """Round-6 doc_substring decomposition: where does the gram path spend
-its time, and does replacing array_distinct over fp128 structs (O(n^2)
-pairwise equality for non-primitive element types) with sort + adjacent
-filter (O(n log n)) pay? Interleaved per-variant MINs; counts asserted.
+its time? Compares the shipped sort+adjacent-filter fp128 dedup against
+the old array_distinct-over-structs variant, plus stage isolations
+(members noop, candidates without the id joins). Interleaved per-variant
+MINs; counts asserted.
 
 Usage: python tools/exp_substr.py [reps]
 """
@@ -36,7 +37,9 @@ def main() -> None:
     docs.count()
     min_len = 24
 
-    def grams_sorted(text_col):
+    def grams_distinct_structs(text_col):
+        """The pre-r6 variant: array_distinct over fp128 structs
+        (pairwise O(n^2) equality for non-primitive element types)."""
         n_positions = F.length(text_col) - F.lit(min_len - 1)
         grams = F.transform(
             F.sequence(F.lit(1), F.greatest(n_positions, F.lit(1))),
@@ -45,14 +48,15 @@ def main() -> None:
                 F.xxhash64(text_col.substr(i, F.lit(min_len)), F.lit(1)).alias("h2"),
             ),
         )
-        return F.when(n_positions >= 1, F.array_sort(grams)).otherwise(
+        return F.when(n_positions >= 1, F.array_distinct(grams)).otherwise(
             F.array().cast("array<struct<h1:bigint,h2:bigint>>")
         )
 
-    def members_sortfilter():
+    def members_current():
         has_len = docs.where(F.length("text") >= min_len)
         gs = has_len.select(
-            F.xxhash64(F.col("doc_id")).alias("sid"), grams_sorted(F.col("text")).alias("gs")
+            F.xxhash64(F.col("doc_id")).alias("sid"),
+            su._gram_fp128_sorted(F.col("text"), min_len).alias("gs"),
         )
         dedup = F.filter(
             F.col("gs"),
@@ -60,24 +64,28 @@ def main() -> None:
         )
         return gs.select("sid", F.explode(dedup).alias("bk"))
 
-    def members_current():
+    def members_old():
         has_len = docs.where(F.length("text") >= min_len)
         return has_len.select(
             F.xxhash64(F.col("doc_id")).alias("sid"),
-            F.explode(su._gram_fp128(F.col("text"), min_len)).alias("bk"),
+            F.explode(grams_distinct_structs(F.col("text"))).alias("bk"),
         )
 
+    def noop(df) -> int:
+        df.write.format("noop").mode("overwrite").save()
+        return -1
+
     variants = {
-        "members_distinct": lambda: members_current().count(),
-        "members_sortfilter": lambda: members_sortfilter().count(),
-        "cand_distinct": lambda: sid_pairs_from_buckets(
-            members_current(), array_bucket_limit=512, drop_cap=10_000
-        ).count(),
+        "members_sortfilter_noop": lambda: noop(members_current()),
+        "members_distinct_noop": lambda: noop(members_old()),
         "cand_sortfilter": lambda: sid_pairs_from_buckets(
-            members_sortfilter(), array_bucket_limit=512, drop_cap=10_000
+            members_current(), array_bucket_limit=512, drop_cap=10_000
         ).count(),
         "full_current": lambda: su.substring_pairs(
             docs, "doc_id", "text", min_len=min_len
+        ).count(),
+        "full_old_distinct": lambda: sid_pairs_from_buckets(
+            members_old(), array_bucket_limit=512, drop_cap=10_000
         ).count(),
     }
     res: dict[str, float] = {}
@@ -92,8 +100,7 @@ def main() -> None:
             counts[name] = n
             res[name] = min(res.get(name, 1e9), dt)
             print(f"  {name}: {dt:6.2f}s n={n}", flush=True)
-    assert counts["members_distinct"] == counts["members_sortfilter"]
-    assert counts["cand_distinct"] == counts["cand_sortfilter"]
+    assert counts["cand_sortfilter"] == counts["full_old_distinct"]
     print("MIN:", {k: round(v, 2) for k, v in res.items()}, flush=True)
     spark.stop()
 
