@@ -123,13 +123,15 @@ class SimHashLSH:
         ).select("id", "table_idx", "key")
 
     # ----------------------------------------------------------- dedup pairs
-    def _sid_tables(self, sig_df: DataFrame) -> DataFrame:
+    def _sid_tables(self, sig_df: DataFrame, raw_id: bool = False) -> DataFrame:
         """(sid, sig, tk): 8-byte id surrogate, the 8-byte signature itself,
         and one 8-byte table key per enumerated mask (tk = xxhash64 of the
         masked signature seeded by the table index — one long key instead of
         (table_idx, key), exactly like the MinHash band key; a cross-table
         collision only adds a candidate, and candidates are distance-checked
-        exactly)."""
+        exactly). raw_id=True uses the id column itself as sid (valid only
+        for 64-bit integer ids — lets dedup_pairs skip the sid->id attach
+        joins entirely)."""
         if self._wide:
             keys = F.array(*[
                 F.xxhash64(
@@ -144,8 +146,9 @@ class SimHashLSH:
                 F.xxhash64(F.col("sig").bitwiseAND(F.lit(_to_i64(m))), F.lit(i))
                 for i, m in enumerate(self.masks)
             ])
+        sid = F.col("id") if raw_id else F.xxhash64("id")
         return sig_df.select(
-            F.xxhash64("id").alias("sid"), "sig", F.explode(keys).alias("tk")
+            sid.alias("sid"), "sig", F.explode(keys).alias("tk")
         )
 
     def _sid_dist_pairs(
@@ -157,6 +160,7 @@ class SimHashLSH:
         max_distance: int | None = None,
         persist: bool = True,
         gate: bool = False,
+        raw_id: bool = False,
     ) -> DataFrame:
         """(src, dst, dist) in sid space, deduped across tables. The 8-byte
         signature rides inside the bucket arrays, so the Hamming distance is
@@ -168,7 +172,7 @@ class SimHashLSH:
         buckets (the all-empty-caption pathology at web scale) are excluded
         — bucket_stats(max_bucket_size=...) records how many."""
         buckets = (
-            self._sid_tables(sig_df)
+            self._sid_tables(sig_df, raw_id=raw_id)
             .groupBy("tk")
             .agg(F.array_sort(F.collect_list(F.struct("sid", "sig"))).alias("ms"))
             .where(F.size("ms") >= 2)
@@ -251,6 +255,12 @@ class SimHashLSH:
                         persist: bool = True) -> DataFrame:
         """(src, dst) ids co-bucketed in >=1 table, deduped — public
         id-space wrapper (no distance filter)."""
+        if sig_df.schema["id"].dataType.simpleString() == "bigint":
+            # long-id fast path: see dedup_pairs
+            return self._sid_dist_pairs(
+                sig_df, max_bucket_size=max_bucket_size, persist=persist,
+                raw_id=True,
+            ).select("src", "dst")
         cand = self._sid_dist_pairs(
             sig_df, max_bucket_size=max_bucket_size, persist=persist
         )
@@ -300,6 +310,17 @@ class SimHashLSH:
             sig_df.storageLevel.useMemory or sig_df.storageLevel.useDisk
         ):
             sig_df = sig_df.persist()
+        # 64-bit-integer ids are valid surrogates themselves: feed them in
+        # directly and return candidates as-is — the xxhash64 indirection
+        # and both sid->id attach joins disappear (the same long-id fast
+        # path as substring's candidate_gram_pairs; at scale those joins
+        # are candidate-set shuffles). Canonical (least, greatest) order
+        # is preserved: pair generation orders by sid, which for raw
+        # longs IS id order.
+        if sig_df.schema["id"].dataType.simpleString() == "bigint":
+            return self._sid_dist_pairs(
+                sig_df, max_distance=d, raw_id=True, **kw
+            ).select("src", "dst", "dist")
         cand = self._sid_dist_pairs(sig_df, max_distance=d, **kw)
         m = sig_df.select(F.xxhash64("id").alias("sid"), "id")
         ma = m.select(F.col("sid").alias("src"), F.col("id").alias("src_id"))
